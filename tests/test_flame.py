@@ -1,0 +1,159 @@
+"""FLAME decoder / camera / mesh math tests.
+
+Parity targets: torch-based reference formulas from
+model/mesh_and_3d_helpers.py and my_utils/eye_centering.py, plus analytic
+invariants of the LBS decode (zero params -> template, global rotation is
+rigid, etc.)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from gif_tpu.flame import (
+    flame_decode,
+    flame_decode_landmarks,
+    batch_orth_proj,
+    vertex_normals,
+)
+from gif_tpu.flame.camera import solve_eye_camera
+from gif_tpu.flame.decoder import rodrigues
+from gif_tpu.flame.resources import synthetic_flame_resources
+
+
+RES = synthetic_flame_resources()
+
+
+def test_zero_params_give_template():
+    b = 2
+    verts = flame_decode(
+        RES, jnp.zeros((b, 100)), jnp.zeros((b, 50)), jnp.zeros((b, 6))
+    )
+    np.testing.assert_allclose(np.asarray(verts[0]), RES.v_template, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(verts[1]), RES.v_template, atol=1e-5)
+
+
+def test_global_rotation_is_rigid():
+    """A pure global rotation must rotate the whole mesh about the root joint."""
+    b = 1
+    angle = np.array([[0.3, -0.2, 0.5, 0, 0, 0]], dtype=np.float32)
+    verts = flame_decode(
+        RES, jnp.zeros((b, 100)), jnp.zeros((b, 50)), jnp.asarray(angle)
+    )
+    R = np.asarray(rodrigues(jnp.asarray(angle[:, :3])))[0]
+    root = RES.j_regressor[0] @ RES.v_template  # rest root joint
+    expected = (RES.v_template - root) @ R.T + root
+    np.testing.assert_allclose(np.asarray(verts[0]), expected, atol=2e-4)
+
+
+def test_shape_blendshape_linearity():
+    b = 1
+    s1 = jnp.zeros((b, 100)).at[0, 3].set(1.0)
+    v1 = flame_decode(RES, s1, jnp.zeros((b, 50)), jnp.zeros((b, 6)))
+    v2 = flame_decode(RES, 2 * s1, jnp.zeros((b, 50)), jnp.zeros((b, 6)))
+    d1 = np.asarray(v1[0]) - RES.v_template
+    d2 = np.asarray(v2[0]) - RES.v_template
+    np.testing.assert_allclose(d2, 2 * d1, atol=1e-5)
+
+
+def test_rodrigues_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    vecs = np.random.default_rng(1).standard_normal((5, 3)).astype(np.float32)
+    got = np.asarray(rodrigues(jnp.asarray(vecs)))
+    ref = Rotation.from_rotvec(vecs).as_matrix()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_batch_orth_proj_parity(rng):
+    X = rng.standard_normal((2, 7, 3)).astype(np.float32)
+    cam = rng.standard_normal((2, 3)).astype(np.float32)
+    # torch reference formula (mesh_and_3d_helpers.py:40-51)
+    tX, tc = torch.from_numpy(X), torch.from_numpy(cam).view(-1, 1, 3)
+    Xt = torch.cat([tX[:, :, :2] + tc[:, :, 1:], tX[:, :, 2:]], 2)
+    ref = (tc[:, :, 0:1] * Xt).numpy()
+    got = batch_orth_proj(jnp.asarray(X), jnp.asarray(cam))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_vertex_normals_parity(rng):
+    verts = rng.standard_normal((2, 10, 3)).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8], [8, 9, 0]], np.int32)
+    got = np.asarray(vertex_normals(jnp.asarray(verts), jnp.asarray(faces)))
+
+    # torch reference (mesh_and_3d_helpers.py:5-37)
+    tv = torch.from_numpy(verts)
+    tf = torch.from_numpy(faces)[None].expand(2, -1, -1)
+    bs, nv = tv.shape[:2]
+    normals = torch.zeros(bs * nv, 3)
+    f = tf + (torch.arange(bs, dtype=tf.dtype) * nv)[:, None, None]
+    vf = tv.reshape(-1, 3)[f.long()].view(-1, 3, 3)
+    f = f.view(-1, 3)
+    normals.index_add_(
+        0, f[:, 1].long(), torch.cross(vf[:, 2] - vf[:, 1], vf[:, 0] - vf[:, 1], dim=1)
+    )
+    normals.index_add_(
+        0, f[:, 2].long(), torch.cross(vf[:, 0] - vf[:, 2], vf[:, 1] - vf[:, 2], dim=1)
+    )
+    normals.index_add_(
+        0, f[:, 0].long(), torch.cross(vf[:, 1] - vf[:, 0], vf[:, 2] - vf[:, 0], dim=1)
+    )
+    normals = torch.nn.functional.normalize(normals, eps=1e-6, dim=1)
+    ref = normals.reshape(2, nv, 3).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_eye_centering_places_eyes():
+    """With symmetric eye vertices (consistent system) the solve is exact.
+
+    Real FLAME eye centres are left/right symmetric at equal height, which
+    makes the reference's 4-equation / 3-unknown system (nearly) consistent;
+    the synthetic mesh's vertices 4051/4597 are arbitrary, so exactness is
+    checked on constructed vertices here and only finiteness on the mesh.
+    """
+    from gif_tpu.constants import DEFAULT_FLAME_CONFIG as cfg
+
+    # Constructed: e1 = (-w, h, z), e2 = (+w, h, z) -> solvable exactly in x
+    # after accounting for the unequal desired x magnitudes via the shift.
+    verts = np.zeros((2, 5000, 3), dtype=np.float32)
+    verts[0, 10] = [-0.04, 0.02, 0.05]
+    verts[0, 20] = [0.04, 0.02, 0.05]
+    verts[1, 10] = [-0.03, 0.01, 0.04]
+    verts[1, 20] = [0.03, 0.01, 0.04]
+    cam = solve_eye_camera(jnp.asarray(verts), 10, 20)
+    proj = np.asarray(
+        batch_orth_proj(jnp.asarray(verts), cam.at[:, 0].set(-cam[:, 0]))
+    )
+    desired_y = ((0.0501 - 0.1) + (0.0509 - 0.1)) / 2  # ls average of the two rows
+    for bi in range(2):
+        np.testing.assert_allclose(proj[bi, 10, 0], -0.2419, atol=1e-3)
+        np.testing.assert_allclose(proj[bi, 20, 0], 0.2441, atol=1e-3)
+        np.testing.assert_allclose(proj[bi, 10, 1], desired_y, atol=1e-3)
+
+    # Smoke: full decode + solve stays finite on the synthetic mesh.
+    mesh_verts = flame_decode(
+        RES, jnp.zeros((1, 100)), jnp.zeros((1, 50)), jnp.zeros((1, 6))
+    )
+    c2 = solve_eye_camera(mesh_verts, cfg.eye_left_vertex, cfg.eye_right_vertex)
+    assert np.isfinite(np.asarray(c2)).all()
+
+
+def test_landmarks_shape():
+    verts = flame_decode(RES, jnp.zeros((1, 100)), jnp.zeros((1, 50)), jnp.zeros((1, 6)))
+    lmk = flame_decode_landmarks(RES, verts)
+    assert lmk.shape == (1, RES.lmk_faces.shape[0], 3)
+
+
+def test_decode_jit_and_grad():
+    """The decoder must be jittable and differentiable end-to-end."""
+
+    @jax.jit
+    def loss(shape, exp, pose):
+        v = flame_decode(RES, shape, exp, pose)
+        return jnp.sum(v**2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.ones((2, 100)) * 0.01, jnp.zeros((2, 50)), jnp.ones((2, 6)) * 0.1
+    )
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()
