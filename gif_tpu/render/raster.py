@@ -1,0 +1,251 @@
+"""Scatter-free tile-binned barycentric rasterizer.
+
+The reference kernel (standard_rasterize_cuda_kernel.cu) launches one CUDA
+thread per (batch, triangle) and scatters into a z-buffer with an atomicMin
+CAS loop — a pattern with a write race that the host papers over by running
+the kernel twice (:252-314).  TPUs have no fast scatter-with-arbitration, so
+this formulation inverts the loop: the image is cut into tiles, candidate
+triangles are binned per tile by bbox overlap, and every pixel *gathers* over
+its tile's candidates keeping the argmin-z front-facing hit.  Race-free and
+deterministic by construction; maps to VPU-friendly dense math.
+
+Numerical semantics preserved from the reference kernel:
+- barycentric weights via the dot-product formula (:79-109), with the
+  degenerate-denominator guard (inverDeno = 0 when the det vanishes);
+- inside test ``w0 > 0 and w1 >= 0 and w2 >= 0`` (:144);
+- back-face cull via the signed-area test (:31-34);
+- perspective-correct depth ``1 / sum(w_i / z_i)`` (:148), smaller z wins.
+
+The discrete outputs (depth / tri-id / bary) carry no gradients, matching
+the reference whose raster buffers live outside autograd; differentiability
+flows through :func:`interpolate_face_attributes`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+BIG_DEPTH = 1e6
+
+
+class RasterOutput(NamedTuple):
+    depth: jnp.ndarray  # (B, H, W) float; BIG_DEPTH where empty
+    tri_id: jnp.ndarray  # (B, H, W) int32; -1 where empty
+    bary: jnp.ndarray  # (B, H, W, 3) float
+    tile_overflow: jnp.ndarray  # (B, n_tiles) bool — candidates dropped
+
+
+def to_pixel_space(verts_ndc: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """NDC [-1,1] -> pixel coords with positive z (reference visibility.py:38-40)."""
+    x = verts_ndc[..., 0] * (w / 2) + w / 2
+    y = verts_ndc[..., 1] * (h / 2) + h / 2
+    z = verts_ndc[..., 2] - jnp.min(verts_ndc[..., 2], axis=(-1,), keepdims=True) + 1.0
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _front_facing(fv: jnp.ndarray) -> jnp.ndarray:
+    """Signed-area front-face test (reference kernel :31-34).
+
+    fv: (..., 3, 3) pixel-space corners -> bool (...,).
+    """
+    p0, p1, p2 = fv[..., 0, :], fv[..., 1, :], fv[..., 2, :]
+    return (p2[..., 1] - p0[..., 1]) * (p1[..., 0] - p0[..., 0]) < (
+        p1[..., 1] - p0[..., 1]
+    ) * (p2[..., 0] - p0[..., 0])
+
+
+def _barycentric(px, py, fv):
+    """Barycentric weights of pixels against candidate triangles.
+
+    px, py: (P,) pixel centres.  fv: (K, 3, 3).
+    Returns w: (K, P, 3) matching the reference dot-product formula.
+    """
+    p0 = fv[:, 0, :2][:, None, :]  # (K, 1, 2)
+    v0 = (fv[:, 2, :2] - fv[:, 0, :2])[:, None, :]
+    v1 = (fv[:, 1, :2] - fv[:, 0, :2])[:, None, :]
+    p = jnp.stack([px, py], axis=-1)[None, :, :]  # (1, P, 2)
+    v2 = p - p0  # (K, P, 2)
+
+    dot00 = jnp.sum(v0 * v0, -1)  # (K, 1)
+    dot01 = jnp.sum(v0 * v1, -1)
+    dot11 = jnp.sum(v1 * v1, -1)
+    dot02 = jnp.sum(v0 * v2, -1)  # (K, P)
+    dot12 = jnp.sum(v1 * v2, -1)
+
+    det = dot00 * dot11 - dot01 * dot01
+    inv = jnp.where(det == 0, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
+    u = (dot11 * dot02 - dot01 * dot12) * inv
+    v = (dot00 * dot12 - dot01 * dot02) * inv
+    return jnp.stack([1.0 - u - v, v, u], axis=-1)  # (K, P, 3)
+
+
+def _bin_triangles(fv, n_tiles_y, n_tiles_x, tile, max_per_tile, h, w):
+    """Per-tile candidate triangle ids by bbox overlap.
+
+    fv: (F, 3, 3).  Returns (ids (T, K) int32, valid (T, K) bool,
+    overflow (T,) bool); T = n_tiles_y * n_tiles_x.
+    """
+    f = fv.shape[0]
+    # Integer pixel bbox exactly as the kernel computes it (:133-136).
+    xs, ys = fv[..., 0], fv[..., 1]
+    x_min = jnp.maximum(jnp.ceil(xs.min(-1)), 0)
+    x_max = jnp.minimum(jnp.floor(xs.max(-1)), w - 1)
+    y_min = jnp.maximum(jnp.ceil(ys.min(-1)), 0)
+    y_max = jnp.minimum(jnp.floor(ys.max(-1)), h - 1)
+    front = _front_facing(fv)
+    alive = front & (x_min <= x_max) & (y_min <= y_max)
+
+    ty = jnp.arange(n_tiles_y) * tile
+    tx = jnp.arange(n_tiles_x) * tile
+    # (T_y, F) / (T_x, F) overlap masks, combined into (T_y, T_x, F).
+    oy = (y_min[None, :] <= (ty[:, None] + tile - 1)) & (y_max[None, :] >= ty[:, None])
+    ox = (x_min[None, :] <= (tx[:, None] + tile - 1)) & (x_max[None, :] >= tx[:, None])
+    mask = oy[:, None, :, ] & ox[None, :, :] & alive[None, None, :]
+    mask = mask.reshape(n_tiles_y * n_tiles_x, f)
+
+    # First-K compaction via stable top_k on the mask.
+    score = mask.astype(jnp.int32)
+    _, ids = lax.top_k(score, max_per_tile)  # stable: lowest index first
+    valid = jnp.take_along_axis(mask, ids, axis=1)
+    overflow = jnp.sum(score, axis=1) > max_per_tile
+    return ids.astype(jnp.int32), valid, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "tile", "max_tris_per_tile")
+)
+def rasterize(
+    face_verts_pix: jnp.ndarray,
+    *,
+    h: int,
+    w: int,
+    tile: int = 32,
+    max_tris_per_tile: int = 512,
+) -> RasterOutput:
+    """Rasterize pixel-space triangles into depth/id/bary buffers.
+
+    Args:
+      face_verts_pix: (B, F, 3, 3) per-face corners, pixel coords, z > 0.
+      h, w: output resolution (must be divisible by ``tile``).
+      tile: square tile edge for binning.
+      max_tris_per_tile: candidate capacity per tile; overflow is reported in
+        ``tile_overflow`` (candidates beyond the cap are dropped).
+    """
+    assert h % tile == 0 and w % tile == 0
+    n_ty, n_tx = h // tile, w // tile
+    n_tiles = n_ty * n_tx
+    b, f = face_verts_pix.shape[:2]
+    k = min(max_tris_per_tile, f)
+
+    fvp = lax.stop_gradient(face_verts_pix)
+
+    def raster_one(fv):  # fv: (F, 3, 3)
+        ids, valid, overflow = _bin_triangles(fv, n_ty, n_tx, tile, k, h, w)
+
+        # Pixel centre coordinates within a tile (origin added per tile).
+        dyx = jnp.arange(tile, dtype=fv.dtype)
+        py_local = jnp.repeat(dyx, tile)  # (P,)
+        px_local = jnp.tile(dyx, tile)
+
+        def tile_body(t_idx):
+            tyi = t_idx // n_tx
+            txi = t_idx % n_tx
+            cand = fv[ids[t_idx]]  # (K, 3, 3)
+            cvalid = valid[t_idx]
+            px = px_local + (txi * tile).astype(fv.dtype)
+            py = py_local + (tyi * tile).astype(fv.dtype)
+
+            bw = _barycentric(px, py, cand)  # (K, P, 3)
+            inside = (bw[..., 0] > 0) & (bw[..., 1] >= 0) & (bw[..., 2] >= 0)
+            inside &= cvalid[:, None]
+            zc = cand[:, :, 2]  # (K, 3)
+            zp = 1.0 / jnp.einsum("kpc,kc->kp", bw, 1.0 / zc)
+            zmask = jnp.where(inside, zp, BIG_DEPTH)
+            winner = jnp.argmin(zmask, axis=0)  # (P,)
+            p_idx = jnp.arange(px.shape[0])
+            depth = zmask[winner, p_idx]
+            hit = depth < BIG_DEPTH
+            tri = jnp.where(hit, ids[t_idx][winner], -1).astype(jnp.int32)
+            bary = jnp.where(hit[:, None], bw[winner, p_idx], 0.0)
+            return (
+                depth.reshape(tile, tile),
+                tri.reshape(tile, tile),
+                bary.reshape(tile, tile, 3),
+            )
+
+        depth_t, tri_t, bary_t = lax.map(tile_body, jnp.arange(n_tiles))
+        # (T, tile, tile) -> (H, W)
+        def detile(x):
+            extra = x.shape[3:]
+            x = x.reshape((n_ty, n_tx, tile, tile) + extra)
+            x = jnp.moveaxis(x, 2, 1)  # (n_ty, tile, n_tx, tile, ...)
+            return x.reshape((h, w) + extra)
+
+        return detile(depth_t), detile(tri_t), detile(bary_t), overflow
+
+    depth, tri_id, bary, overflow = jax.vmap(raster_one)(fvp)
+    return RasterOutput(depth, tri_id, bary, overflow)
+
+
+def interpolate_face_attributes(
+    tri_id: jnp.ndarray,
+    bary: jnp.ndarray,
+    face_attrs: jnp.ndarray,
+    background: float = 0.0,
+) -> jnp.ndarray:
+    """Differentiable per-pixel attribute interpolation.
+
+    Args:
+      tri_id: (B, H, W) int32, -1 for background.
+      bary: (B, H, W, 3).
+      face_attrs: (B, F, 3, D) per-corner attributes.
+
+    Returns:
+      (B, H, W, D); gradients flow into ``face_attrs`` only (bary/ids are
+      discrete), matching the reference autograd topology.
+    """
+    b, height, width = tri_id.shape
+    d = face_attrs.shape[-1]
+    safe_id = jnp.maximum(tri_id, 0)
+
+    def gather_one(attrs, ids):  # (F, 3, D), (H, W)
+        return attrs[ids]  # (H, W, 3, D)
+
+    corner = jax.vmap(gather_one)(face_attrs, safe_id)  # (B, H, W, 3, D)
+    out = jnp.einsum("bhwc,bhwcd->bhwd", bary, corner)
+    mask = (tri_id >= 0)[..., None]
+    return jnp.where(mask, out, background)
+
+
+def get_visibility(verts_ndc: jnp.ndarray, faces: jnp.ndarray, h: int, w: int):
+    """Per-vertex visibility via rasterization (reference visibility.py:29-60).
+
+    A vertex is visible iff any triangle containing it wins at least one
+    pixel.  Implemented with a scatter-max instead of the reference's
+    host-side ``torch.unique`` loop.
+    """
+    from gif_tpu.flame.mesh import face_vertices
+
+    pix = to_pixel_space(verts_ndc, h, w)
+    fv = face_vertices(pix, faces)
+    out = rasterize(fv, h=h, w=w)
+    f = faces.shape[0]
+    v = verts_ndc.shape[1]
+
+    def one(tri_ids):  # (H, W)
+        flat = tri_ids.reshape(-1)
+        face_hit = jnp.zeros((f,), jnp.float32).at[jnp.maximum(flat, 0)].max(
+            (flat >= 0).astype(jnp.float32)
+        )
+        vert_vis = jnp.zeros((v,), jnp.float32)
+        for c in range(3):
+            vert_vis = vert_vis.at[faces[:, c]].max(face_hit)
+        return vert_vis
+
+    return jax.vmap(one)(out.tri_id)

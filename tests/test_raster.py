@@ -1,0 +1,221 @@
+"""Rasterizer correctness vs a brute-force numpy reference implementing the
+CUDA kernel semantics (standard_rasterize_cuda_kernel.cu), plus renderer
+smoke/invariant tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gif_tpu.render import (
+    rasterize,
+    interpolate_face_attributes,
+    to_pixel_space,
+    get_visibility,
+    grid_sample_bilinear,
+    render_tex_and_normal,
+)
+from gif_tpu.render.shading import sh9_basis, SH_CONST
+from gif_tpu.flame.mesh import face_vertices
+from gif_tpu.flame.resources import synthetic_flame_resources
+
+
+def _np_rasterize(fv, h, w):
+    """Brute force per-pixel loop with the reference kernel's math."""
+    f = fv.shape[0]
+    depth = np.full((h, w), 1e6, np.float64)
+    tri = np.full((h, w), -1, np.int32)
+    bary = np.zeros((h, w, 3), np.float64)
+    for fi in range(f):
+        p0, p1, p2 = fv[fi, 0], fv[fi, 1], fv[fi, 2]
+        front = (p2[1] - p0[1]) * (p1[0] - p0[0]) < (p1[1] - p0[1]) * (p2[0] - p0[0])
+        if not front:
+            continue
+        x_min = max(int(np.ceil(min(p0[0], p1[0], p2[0]))), 0)
+        x_max = min(int(np.floor(max(p0[0], p1[0], p2[0]))), w - 1)
+        y_min = max(int(np.ceil(min(p0[1], p1[1], p2[1]))), 0)
+        y_max = min(int(np.floor(max(p0[1], p1[1], p2[1]))), h - 1)
+        v0 = p2[:2] - p0[:2]
+        v1 = p1[:2] - p0[:2]
+        dot00, dot01, dot11 = v0 @ v0, v0 @ v1, v1 @ v1
+        det = dot00 * dot11 - dot01 * dot01
+        inv = 0.0 if det == 0 else 1.0 / det
+        for y in range(y_min, y_max + 1):
+            for x in range(x_min, x_max + 1):
+                v2 = np.array([x, y], np.float64) - p0[:2]
+                dot02, dot12 = v0 @ v2, v1 @ v2
+                u = (dot11 * dot02 - dot01 * dot12) * inv
+                v = (dot00 * dot12 - dot01 * dot02) * inv
+                wgt = np.array([1 - u - v, v, u])
+                if wgt[0] > 0 and wgt[1] >= 0 and wgt[2] >= 0:
+                    zp = 1.0 / (wgt[0] / p0[2] + wgt[1] / p1[2] + wgt[2] / p2[2])
+                    if zp < depth[y, x]:
+                        depth[y, x] = zp
+                        tri[y, x] = fi
+                        bary[y, x] = wgt
+    return depth, tri, bary
+
+
+def _random_faces(rng, n_faces, h, w):
+    """Random triangles in pixel space with positive depth."""
+    centers = rng.uniform(5, min(h, w) - 5, size=(n_faces, 1, 2))
+    offsets = rng.uniform(-8, 8, size=(n_faces, 3, 2))
+    xy = centers + offsets
+    z = rng.uniform(1.0, 20.0, size=(n_faces, 3, 1))
+    return np.concatenate([xy, z], axis=-1).astype(np.float32)
+
+
+def test_rasterize_matches_bruteforce(rng):
+    h = w = 64
+    fv = _random_faces(rng, 40, h, w)
+    ref_d, ref_t, ref_b = _np_rasterize(fv, h, w)
+
+    out = rasterize(jnp.asarray(fv)[None], h=h, w=w, tile=16, max_tris_per_tile=40)
+    got_d = np.asarray(out.depth[0])
+    got_t = np.asarray(out.tri_id[0])
+    got_b = np.asarray(out.bary[0])
+
+    assert not np.asarray(out.tile_overflow).any()
+    np.testing.assert_array_equal(got_t, ref_t)
+    hit = ref_t >= 0
+    np.testing.assert_allclose(got_d[hit], ref_d[hit], rtol=1e-4)
+    np.testing.assert_allclose(got_b[hit], ref_b[hit], rtol=1e-3, atol=1e-4)
+
+
+def test_rasterize_backface_culled(rng):
+    h = w = 32
+    # One clockwise (front per the kernel's test) and its flipped twin.
+    tri = np.array(
+        [[[5, 5, 2.0], [25, 6, 2.0], [15, 25, 2.0]]], np.float32
+    )
+    flipped = tri[:, [0, 2, 1], :]
+    out_f = rasterize(jnp.asarray(tri)[None], h=h, w=w, tile=16, max_tris_per_tile=4)
+    out_b = rasterize(jnp.asarray(flipped)[None], h=h, w=w, tile=16, max_tris_per_tile=4)
+    n_f = int((np.asarray(out_f.tri_id[0]) >= 0).sum())
+    n_b = int((np.asarray(out_b.tri_id[0]) >= 0).sum())
+    assert (n_f > 0) != (n_b > 0)  # exactly one orientation rasterizes
+
+
+def test_rasterize_depth_ordering():
+    h = w = 32
+    # Two overlapping triangles; the nearer (smaller z) must win everywhere.
+    near = np.array([[[2, 2, 1.0], [30, 3, 1.0], [15, 30, 1.0]]], np.float32)
+    far = np.array([[[2, 2, 5.0], [30, 3, 5.0], [15, 30, 5.0]]], np.float32)
+    # ensure front-facing ordering consistent with the near triangle.
+    fv = np.concatenate([far, near], axis=0)
+    out = rasterize(jnp.asarray(fv)[None], h=h, w=w, tile=16, max_tris_per_tile=4)
+    t = np.asarray(out.tri_id[0])
+    assert (t[t >= 0] == 1).all()
+
+
+def test_tile_overflow_flag():
+    h = w = 32
+    rng = np.random.default_rng(3)
+    fv = _random_faces(rng, 64, h, w)
+    out = rasterize(jnp.asarray(fv)[None], h=h, w=w, tile=32, max_tris_per_tile=8)
+    assert np.asarray(out.tile_overflow).any()
+
+
+def test_interpolate_face_attributes_grad():
+    h = w = 32
+    rng = np.random.default_rng(4)
+    fv = _random_faces(rng, 10, h, w)
+    out = rasterize(jnp.asarray(fv)[None], h=h, w=w, tile=16, max_tris_per_tile=16)
+
+    attrs = jnp.asarray(rng.standard_normal((1, 10, 3, 4)).astype(np.float32))
+
+    def loss(a):
+        img = interpolate_face_attributes(out.tri_id, out.bary, a)
+        return jnp.sum(img**2)
+
+    g = jax.grad(loss)(attrs)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_grid_sample_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    img = rng.standard_normal((2, 3, 9, 11)).astype(np.float32)  # NCHW
+    grid = rng.uniform(-1.2, 1.2, size=(2, 5, 6, 2)).astype(np.float32)
+    ref = F.grid_sample(
+        torch.from_numpy(img), torch.from_numpy(grid), align_corners=False
+    ).numpy()
+    got = grid_sample_bilinear(
+        jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(grid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sh_basis_constant_light():
+    """Light with only the constant band shades uniformly."""
+    n = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3)), jnp.float32)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    basis = np.asarray(sh9_basis(n))
+    np.testing.assert_allclose(basis[:, 0], SH_CONST[0], rtol=1e-6)
+
+
+def test_render_tex_and_normal_end_to_end():
+    res = synthetic_flame_resources()
+    b = 2
+    key = jax.random.PRNGKey(0)
+    shape = 0.1 * jax.random.normal(key, (b, 100))
+    light = jnp.zeros((b, 9, 3)).at[:, 0, :].set(3.0)
+    cam = jnp.tile(jnp.asarray([[8.0, 0.0, 0.0]]), (b, 1))
+    maps = render_tex_and_normal(
+        res,
+        shape,
+        jnp.zeros((b, 50)),
+        jnp.zeros((b, 6)),
+        jnp.zeros((b, 50)),
+        light,
+        cam,
+        image_size=128,
+        max_tris_per_tile=2048,
+    )
+    assert maps.textured.shape == (b, 128, 128, 3)
+    assert maps.normal.shape == (b, 128, 128, 3)
+    t = np.asarray(maps.textured)
+    nrm = np.asarray(maps.normal)
+    m = np.asarray(maps.mask)
+    assert m.any(), "mesh projected off-screen"
+    assert (t >= 0).all() and np.isfinite(t).all()
+    assert (nrm >= 0).all() and (nrm <= 1).all()
+    # Background exactly zero.
+    assert (t[~m] == 0).all() and (nrm[~m] == 0).all()
+
+
+def test_render_gradients_flow_to_codes():
+    res = synthetic_flame_resources()
+    b = 1
+    cam = jnp.asarray([[8.0, 0.0, 0.0]])
+    light = jnp.zeros((b, 9, 3)).at[:, 0, :].set(3.0)
+
+    def loss(tex, lit):
+        maps = render_tex_and_normal(
+            res,
+            jnp.zeros((b, 100)),
+            jnp.zeros((b, 50)),
+            jnp.zeros((b, 6)),
+            tex,
+            lit,
+            cam,
+            image_size=64,
+            max_tris_per_tile=1024,
+        )
+        return jnp.sum(maps.textured)
+
+    gt, gl = jax.grad(loss, argnums=(0, 1))(jnp.zeros((b, 50)), light)
+    assert float(jnp.abs(gt).sum()) > 0
+    assert float(jnp.abs(gl).sum()) > 0
+
+
+def test_get_visibility():
+    res = synthetic_flame_resources()
+    verts = jnp.asarray(res.v_template[None] * 8.0)  # fill [-1,1] ndc roughly
+    vis = get_visibility(verts, jnp.asarray(res.faces), 64, 64)
+    v = np.asarray(vis[0])
+    # Roughly half the sphere should be visible, never all or none.
+    assert 0.1 < v.mean() < 0.9
