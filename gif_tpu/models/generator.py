@@ -1,0 +1,188 @@
+"""The GIF conditional StyleGAN2 generator.
+
+Architecture parity with the reference (model/stg2_generator.py):
+
+- ``SynthesisNetwork``: ConstantInput(512, core_res) + 9 progression blocks
+  (first is a single non-upsampling StyledConv; the rest are up + plain
+  StyledConv pairs) with per-block skip-accumulated ToRGB
+  (stg2_generator.py:69-209).  Channels (ex_cha_mult=1, cm=2):
+  512,512,512,512,512,256*2->512?  — concretely per block out:
+  [512, 512, 512, 512, 512, 256, 128, 64, 32] at sizes 4..1024.
+- ``StyledGenerator``: frozen random identity-embedding buffer
+  (stg2_generator.py:34-46), 8-layer z->w mapping, conditioning maps resized
+  to every scale and injected through ConditionInjection at each conv
+  (stg2_generator.py:301-314).
+
+The progressive-growing ``step``/``alpha`` machinery is vestigial in the
+reference (fixed step 6, alpha 1 for every shipped config — SURVEY.md §2.1);
+here ``step`` is a static python int selecting how many blocks run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gif_tpu.models.layers import StyledConv, ToRGB, MappingNetwork
+from gif_tpu.utils.image import resize_bilinear
+
+
+def synthesis_channels(channel_multiplier: int = 2) -> list[int]:
+    """Per-block output channels (reference stg2_generator.py:86-114)."""
+    return [
+        512,
+        512,
+        512,
+        512,
+        256 * channel_multiplier,
+        128 * channel_multiplier,
+        64 * channel_multiplier,
+        32 * channel_multiplier,
+        16 * channel_multiplier,
+    ]
+
+
+class SynthesisBlock(nn.Module):
+    """StyledConvStyleGAN2: one upsampling + one plain StyledConv, or a
+    single plain conv for the first block (stg2_generator.py:48-66)."""
+
+    out_ch: int
+    one_conv_block: bool = False
+    apply_sqrt2: bool = False
+
+    @nn.compact
+    def __call__(self, x, latent, cond):
+        x = StyledConv(
+            self.out_ch,
+            3,
+            upsample=not self.one_conv_block,
+            apply_sqrt2=self.apply_sqrt2,
+            name="conv1",
+        )(x, latent, cond)
+        if not self.one_conv_block:
+            x = StyledConv(
+                self.out_ch, 3, upsample=False, apply_sqrt2=self.apply_sqrt2, name="conv2"
+            )(x, latent, cond)
+        return x
+
+
+class SynthesisNetwork(nn.Module):
+    core_tensor_res: int = 4
+    channel_multiplier: int = 2
+    apply_sqrt2: bool = False
+
+    @nn.compact
+    def __call__(self, latent, conds, step: int = 6):
+        """latent: (B, 512); conds: list of per-scale condition maps
+        (B, 4*2^i, 4*2^i, C) for i in 0..step.  Returns (B, H, H, 3)."""
+        chans = synthesis_channels(self.channel_multiplier)
+        batch = latent.shape[0]
+        const = self.param(
+            "const_input",
+            lambda key, shape: jax.random.normal(key, shape),
+            (1, self.core_tensor_res, self.core_tensor_res, 512),
+        )
+        start_step = int(np.log2(self.core_tensor_res)) - 2
+        x = jnp.tile(const, (batch, 1, 1, 1))
+        skip = None
+        for i in range(start_step, step + 1):
+            x = SynthesisBlock(
+                chans[i],
+                one_conv_block=(i == start_step),
+                apply_sqrt2=self.apply_sqrt2,
+                name=f"block{i}",
+            )(x, latent, conds[i])
+            skip = ToRGB(
+                upsample=(i > start_step), apply_sqrt2=self.apply_sqrt2, name=f"to_rgb{i}"
+            )(x, latent, skip)
+        return skip
+
+
+class StyledGenerator(nn.Module):
+    """Top-level generator (reference StyledGenerator, stg2_generator.py:
+    212-333).
+
+    Call with either integer ``input_indices`` (identity-embedding lookup)
+    or a float ``z`` (direct latent), plus the 6-channel condition map.
+    """
+
+    embedding_vocab_size: int = 70000
+    n_mlp: int = 8
+    core_tensor_res: int = 4
+    channel_multiplier: int = 2
+    w_truncation_factor: float = 1.0
+    apply_sqrt2: bool = False
+
+    def setup(self):
+        self.mapping = MappingNetwork(n_mlp=self.n_mlp, style_dim=512)
+        self.synthesis = SynthesisNetwork(
+            core_tensor_res=self.core_tensor_res,
+            channel_multiplier=self.channel_multiplier,
+            apply_sqrt2=self.apply_sqrt2,
+        )
+        # Frozen random identity codes — deliberately a non-trainable buffer
+        # (reference ImgEmbedding, stg2_generator.py:34-46).
+        self.embedding = self.variable(
+            "buffers",
+            "embedding",
+            lambda: jax.random.normal(
+                jax.random.PRNGKey(11), (self.embedding_vocab_size, 512)
+            ),
+        )
+
+    def get_embeddings(self):
+        return self.embedding.value
+
+    def __call__(
+        self,
+        cond: jnp.ndarray,
+        input_indices: Optional[jnp.ndarray] = None,
+        z: Optional[jnp.ndarray] = None,
+        step: int = 6,
+        mean_w: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Generate images.
+
+        Args:
+          cond: (B, H, W, C) condition maps (textured ++ normal channels),
+            value range [-1, 1].
+          input_indices: (B,) int32 identity indices into the frozen
+            embedding; mutually exclusive with ``z``.
+          z: (B, 512) latent fed straight to the mapping net (the
+            reference's float-indices path, stg2_generator.py:272-273).
+          step: static; images come out at 4 * 2**step.
+          mean_w: (512,) mean latent for w-truncation
+            (stg2_generator.py:278-283); required if w_truncation_factor
+            deviates from 1.
+
+        Returns:
+          (B, 4*2**step, 4*2**step, 3) images.
+        """
+        if z is not None:
+            w = self.mapping(z)
+        else:
+            if input_indices is None:
+                input_indices = jnp.zeros((cond.shape[0],), jnp.int32)
+            codes = self.embedding.value[input_indices]
+            w = self.mapping(codes)
+            if abs(self.w_truncation_factor - 1.0) > 0.01:
+                if mean_w is None:
+                    raise ValueError(
+                        "w_truncation_factor set but no mean_w supplied; "
+                        "compute it with StyledGenerator.mean_latent()."
+                    )
+                w = w + (mean_w - w) * (1.0 - self.w_truncation_factor)
+
+        conds = [
+            resize_bilinear(cond, 4 * 2**i, 4 * 2**i) for i in range(step + 1)
+        ]
+        return self.synthesis(w, conds, step=step)
+
+    def mean_latent(self) -> jnp.ndarray:
+        """Mean w over the whole identity-embedding table
+        (stg2_generator.py:279-280)."""
+        return jnp.mean(self.mapping(self.embedding.value), axis=0)

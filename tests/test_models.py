@@ -1,0 +1,171 @@
+"""Generator / discriminator structural and numerical tests.
+
+Param-count parity targets come from instantiating the reference modules
+is impossible here (torch-side code depends on the missing submodule), so
+counts are checked against analytically derived numbers from the reference
+architecture (stg2_generator.py:69-137, stg2_discriminator.py:8-46)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gif_tpu.models import StyledGenerator, Discriminator, flame_texture_space
+from gif_tpu.models.generator import synthesis_channels
+from gif_tpu.flame.resources import synthetic_flame_resources
+
+
+def _n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def test_generator_forward_shapes():
+    gen = StyledGenerator(embedding_vocab_size=32)
+    cond = jnp.zeros((2, 64, 64, 6))
+    idx = jnp.asarray([0, 5], jnp.int32)
+    vars_ = gen.init(jax.random.PRNGKey(0), cond, input_indices=idx, step=4)
+    img = gen.apply(vars_, cond, input_indices=idx, step=4)
+    assert img.shape == (2, 64, 64, 3)
+
+
+def test_generator_z_path():
+    gen = StyledGenerator(embedding_vocab_size=8)
+    cond = jnp.zeros((2, 32, 32, 6))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    vars_ = gen.init(jax.random.PRNGKey(0), cond, z=z, step=3)
+    img = gen.apply(vars_, cond, z=z, step=3)
+    assert img.shape == (2, 32, 32, 3)
+
+
+def test_generator_deterministic():
+    gen = StyledGenerator(embedding_vocab_size=8)
+    cond = jnp.ones((1, 32, 32, 6)) * 0.3
+    idx = jnp.asarray([2], jnp.int32)
+    vars_ = gen.init(jax.random.PRNGKey(0), cond, input_indices=idx, step=3)
+    a = gen.apply(vars_, cond, input_indices=idx, step=3)
+    b = gen.apply(vars_, cond, input_indices=idx, step=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generator_embedding_is_buffer_not_param():
+    gen = StyledGenerator(embedding_vocab_size=16)
+    cond = jnp.zeros((1, 16, 16, 6))
+    vars_ = gen.init(
+        jax.random.PRNGKey(0), cond, input_indices=jnp.zeros((1,), jnp.int32), step=2
+    )
+    assert "buffers" in vars_
+    assert vars_["buffers"]["embedding"].shape == (16, 512)
+    flat_params = jax.tree_util.tree_leaves(vars_["params"])
+    assert all(p.shape != (16, 512) for p in flat_params)
+
+
+def _styled_conv_params(cin, cout, cond_ch=6, k=3):
+    """Analytic param count of one StyledConv (reference layers)."""
+    mod = cin * 512 + cin  # modulation EqualLinear
+    conv = cout * cin * k * k
+    # ConditionInjection: c->2c, 2c->4c, 4c->out with 3x3 kernels + biases
+    c = cond_ch
+    noise = (2 * c * c * 9 + 2 * c) + (4 * c * 2 * c * 9 + 4 * c) + (cout * 4 * c * 9 + cout)
+    act_bias = cout
+    return mod + conv + noise + act_bias
+
+
+def _to_rgb_params(cin):
+    return (cin * 512 + cin) + (3 * cin * 1 * 1) + 3  # modulation + conv + bias
+
+
+def test_generator_param_count_matches_reference_formula():
+    gen = StyledGenerator(embedding_vocab_size=4, n_mlp=8)
+    cond = jnp.zeros((1, 256, 256, 6))
+    vars_ = gen.init(
+        jax.random.PRNGKey(0), cond, input_indices=jnp.zeros((1,), jnp.int32), step=6
+    )
+    got = _n_params(vars_["params"])
+
+    chans = synthesis_channels()
+    expected = 1 * 4 * 4 * 512  # const input
+    expected += 8 * (512 * 512 + 512)  # mapping
+    cin = 512
+    for i in range(0, 7):  # step 6 -> blocks 0..6 initialized
+        cout = chans[i]
+        if i == 0:
+            expected += _styled_conv_params(cin, cout)
+        else:
+            expected += _styled_conv_params(cin, cout) + _styled_conv_params(cout, cout)
+        expected += _to_rgb_params(cout)
+        cin = cout
+    assert got == expected, (got, expected)
+
+
+def test_discriminator_shapes_and_param_count():
+    disc = Discriminator(size=64)
+    img = jnp.zeros((4, 64, 64, 3))
+    cond = jnp.zeros((4, 64, 64, 6))
+    vars_ = disc.init(jax.random.PRNGKey(0), img, cond)
+    score = disc.apply(vars_, img, cond)
+    assert score.shape == (4, 1)
+
+    # Analytic count for size=64, 9 input channels.
+    chans = {4: 512, 8: 512, 16: 512, 32: 512, 64: 512}
+    exp = chans[64] * 9 * 1 * 1 + chans[64]  # from_rgb conv+act bias
+    cin = chans[64]
+    for i in range(6, 2, -1):
+        cout = chans[2 ** (i - 1)]
+        exp += cin * cin * 9 + cin  # conv1 + act bias
+        exp += cout * cin * 9 + cout  # conv2 (down) + act bias
+        exp += cout * cin * 1  # skip, no bias
+        cin = cout
+    exp += 512 * 513 * 9 + 512  # final conv (stddev appended) + act bias
+    exp += 512 * (512 * 4 * 4) + 512  # final dense 1
+    exp += 1 * 512 + 1  # out
+    got = _n_params(vars_["params"])
+    assert got == exp, (got, exp)
+
+
+def test_discriminator_condition_changes_score():
+    disc = Discriminator(size=32)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    c1 = jnp.zeros((4, 32, 32, 6))
+    c2 = jnp.ones((4, 32, 32, 6))
+    vars_ = disc.init(jax.random.PRNGKey(1), img, c1)
+    s1 = disc.apply(vars_, img, c1)
+    s2 = disc.apply(vars_, img, c2)
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_texture_space_shapes_and_grad():
+    res = synthetic_flame_resources()
+    b = 2
+    img = jax.random.normal(jax.random.PRNGKey(0), (b, 128, 128, 3))
+    params = jnp.zeros((b, 159)).at[:, 156].set(8.0)  # camera scale
+    tex, vis = flame_texture_space(res, img, params)
+    assert tex.shape == (b, 256, 256, 3)
+    assert vis.shape == (b, 256, 256, 1)
+    assert vis.dtype == bool
+
+    def loss(im):
+        t, v = flame_texture_space(res, im, params)
+        return jnp.sum(t**2)
+
+    g = jax.grad(loss)(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_generator_grad_flows():
+    gen = StyledGenerator(embedding_vocab_size=8)
+    cond = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 6))
+    idx = jnp.asarray([0, 1], jnp.int32)
+    vars_ = gen.init(jax.random.PRNGKey(0), cond, input_indices=idx, step=2)
+
+    def loss(params):
+        img = gen.apply(
+            {"params": params, "buffers": vars_["buffers"]},
+            cond,
+            input_indices=idx,
+            step=2,
+        )
+        return jnp.mean(img**2)
+
+    g = jax.grad(loss)(vars_["params"])
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
