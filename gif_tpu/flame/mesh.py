@@ -42,6 +42,7 @@ def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray, eps: float = 1e-6)
     times the face normal, so this equals area-weighted face-normal
     accumulation; reproduced corner-for-corner for bitwise-equivalent math.
     """
+    faces = np.asarray(faces)  # must be a host constant (segment ids are static)
     b, v, _ = vertices.shape
     tri = face_vertices(vertices, faces)  # (B, F, 3, 3)
     c0 = jnp.cross(tri[:, :, 1] - tri[:, :, 0], tri[:, :, 2] - tri[:, :, 0])

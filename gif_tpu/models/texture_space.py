@@ -43,7 +43,9 @@ def flame_texture_space(res, source_img: jnp.ndarray, flame_params_full: jnp.nda
     # Vertex normals of the projected mesh (stg2_generator.py:369-372).
     trans = batch_orth_proj(verts, cam)
     trans = trans.at[:, :, 1:].multiply(-1.0)
-    vnorm = vertex_normals(trans, jnp.asarray(res.faces))
+    import numpy as np
+
+    vnorm = vertex_normals(trans, np.asarray(res.faces))
 
     vf = jnp.asarray(res.texture_valid_faces)  # (P, 3) vertex ids
     bw = jnp.asarray(res.texture_valid_bary, verts.dtype)  # (P, 3)

@@ -77,7 +77,9 @@ def render_tex_and_normal(
     # does before rasterizing (stg2_generator.py:369-370 / DECA).
     trans = trans.at[:, :, 1:].multiply(-1.0)
 
-    faces = jnp.asarray(res.faces)
+    import numpy as np
+
+    faces = np.asarray(res.faces)
     pix = to_pixel_space(trans, image_size, image_size)
     fv = face_vertices(pix, faces)
     rast = rasterize(

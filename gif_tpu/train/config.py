@@ -1,0 +1,139 @@
+"""Training configuration with named presets.
+
+The reference drives experiments through a giant ``run_id`` if-ladder
+(configurations.py:27-263).  Here each shipped ablation (run ids 0, 3, 7, 8,
+29) is a dataclass preset with the same flag names for discoverability;
+presets are data, not code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    run_id: int = 0
+    # --- model ---
+    rendered_flame_as_condition: bool = True
+    normal_maps_as_cond: bool = True
+    embedding_vocab_size: int = 69158  # len(dataset) in the reference (:257-258)
+    core_tensor_res: int = 4
+    nmlp_for_z_to_w: int = 8
+    apply_sqrt_in_eq_linear: bool = False
+    channel_multiplier: int = 2
+    use_posed_constant_input: bool = False
+
+    # --- image / batch ---
+    init_size: int = 256
+    max_size: int = 256
+    batch_size: int = 16  # global; split across the data mesh axis
+    flame_dims: int = 159
+
+    # --- optimization (train.py:365-382) ---
+    lr: float = 0.002
+    g_reg_interval: int = 4
+    d_reg_interval: int = 16
+    r1_interval: int = 16  # grad penalty every 16th iter (train.py:145)
+    r1_weight: float = 5.0  # losses.py:96
+    n_critic: float = 1.0
+
+    # --- regularizers ---
+    gen_reg_type: str = "none"  # none | path_len_reg | direct_grad_reg
+    embedding_reg_weight: float = 0.0
+    apply_texture_space_interpolation_loss: bool = True
+    adaptive_interp_loss: bool = False
+
+    # --- data / rendering ---
+    render_in_step: bool = True  # render cond maps on-device inside the step
+    render_image_size: int = 256
+
+    # --- bookkeeping ---
+    phase: int = 120_000
+    checkpoint_every: int = 1000
+    fid_every: int = 500
+    ema_decay: float = 0.5 ** (32 / (10 * 1000))
+
+    @property
+    def cond_channels(self) -> int:
+        return 3 * int(self.rendered_flame_as_condition) + 3 * int(
+            self.normal_maps_as_cond
+        )
+
+    @property
+    def disc_in_channels(self) -> int:
+        return 3 + self.cond_channels
+
+    @property
+    def max_step(self) -> int:
+        import math
+
+        return int(math.log2(self.max_size)) - 2
+
+    @property
+    def g_lr(self) -> float:
+        ratio = self.g_reg_interval / (self.g_reg_interval + 1)
+        return self.lr * ratio
+
+    @property
+    def g_betas(self) -> tuple:
+        ratio = self.g_reg_interval / (self.g_reg_interval + 1)
+        return (0.0, 0.99**ratio)
+
+    @property
+    def d_lr(self) -> float:
+        ratio = self.d_reg_interval / (self.d_reg_interval + 1)
+        return self.lr * ratio
+
+    @property
+    def d_betas(self) -> tuple:
+        ratio = self.d_reg_interval / (self.d_reg_interval + 1)
+        return (0.0, 0.99**ratio)
+
+
+_PRESETS = {
+    # run_id 0: full GIF from scratch (configurations.py:34-73)
+    0: dict(
+        rendered_flame_as_condition=True,
+        normal_maps_as_cond=True,
+        apply_texture_space_interpolation_loss=True,
+    ),
+    # run_id 3: normal maps only (configurations.py:75-114)
+    3: dict(
+        rendered_flame_as_condition=False,
+        normal_maps_as_cond=True,
+        apply_texture_space_interpolation_loss=True,
+    ),
+    # run_id 7: textured render only, no interp loss (configurations.py:116-154)
+    7: dict(
+        rendered_flame_as_condition=True,
+        normal_maps_as_cond=False,
+        apply_texture_space_interpolation_loss=False,
+    ),
+    # run_id 8: both conditions, no interp loss (configurations.py:156-194)
+    8: dict(
+        rendered_flame_as_condition=True,
+        normal_maps_as_cond=True,
+        apply_texture_space_interpolation_loss=False,
+    ),
+    # run_id 29: full model fine-tune (configurations.py:196-235); its
+    # pretrained checkpoint also carries the EqualLinear sqrt2 quirk
+    # (plots/generate_random_samples.py:82-91).
+    29: dict(
+        rendered_flame_as_condition=True,
+        normal_maps_as_cond=True,
+        apply_texture_space_interpolation_loss=True,
+        apply_sqrt_in_eq_linear=True,
+    ),
+}
+
+
+def get_config(run_id: int = 0, **overrides) -> TrainConfig:
+    if run_id not in _PRESETS:
+        raise ValueError(
+            f"Unknown run_id {run_id}; shipped presets: {sorted(_PRESETS)}"
+        )
+    kwargs = dict(_PRESETS[run_id])
+    kwargs.update(overrides)
+    return TrainConfig(run_id=run_id, **kwargs)

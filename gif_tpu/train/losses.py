@@ -1,0 +1,174 @@
+"""GAN losses and regularizers.
+
+Parity with reference loss_functions/losses.py and train.py:
+
+- non-saturating softplus GAN loss (train.py:144, :172, :203);
+- R1 gradient penalty, weight 5.0, on the real images only
+  (train.py:145-149, losses.py:87-99);
+- path-length regularization (losses.py:102-124).  NOTE two reference bugs
+  fixed and documented: (a) the reference feeds a 159-dim style into a
+  512-dim mapping net (dead code path — would crash); we draw a proper
+  512-dim z.  (b) its EMA update at losses.py:119 algebraically reduces to
+  ``mean = decay * len``; we use a true EMA.
+- texture-space interpolation loss (losses.py:127-236) with rendering and
+  texture stealing fused into the same XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gif_tpu.models.texture_space import flame_texture_space
+from gif_tpu.render.renderer import render_tex_and_normal
+from gif_tpu import constants as cnst
+
+
+def d_ns_loss(real_scores: jnp.ndarray, fake_scores: jnp.ndarray) -> jnp.ndarray:
+    """softplus(-real).mean() + softplus(fake).mean()."""
+    return jax.nn.softplus(-real_scores).mean() + jax.nn.softplus(fake_scores).mean()
+
+
+def g_ns_loss(fake_scores: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softplus(-fake_scores).mean()
+
+
+def r1_penalty(d_apply, d_params, real_image, condition, weight: float = 5.0):
+    """R1: weight * ||d D(x)/d x||^2 per sample, meaned.
+
+    ``d_apply(params, image, condition) -> (B, 1)``.  Differentiable a second
+    time (the caller backprops this through ``d_params``)."""
+
+    def score_sum(img):
+        return d_apply(d_params, img, condition).sum()
+
+    g = jax.grad(score_sum)(real_image)
+    per_sample = jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1)
+    return weight * per_sample.mean()
+
+
+def path_length_penalty(g_apply_z, z, pl_mean, decay: float = 0.01, rng=None):
+    """StyleGAN2 PPL on the z->image jacobian.
+
+    Args:
+      g_apply_z: z -> images (B, H, W, 3); closure over params/cond.
+      z: (B, 512) latent (requires grad).
+      pl_mean: scalar running mean of path lengths.
+
+    Returns:
+      (penalty, new_pl_mean).
+    """
+    images, vjp = jax.vjp(g_apply_z, z)
+    noise = jax.random.normal(rng, images.shape) / jnp.sqrt(
+        jnp.prod(jnp.asarray(images.shape, jnp.float32))
+    )
+    (grads,) = vjp(noise)
+    lengths = jnp.mean(jnp.sqrt(jnp.sum(grads**2, axis=1)))
+    new_mean = pl_mean + decay * (lengths - pl_mean)
+    penalty = (lengths - new_mean) ** 2
+    return penalty, new_mean
+
+
+def l2_param_norm(params) -> jnp.ndarray:
+    """Sum of parameter L2 norms (reference l2_reg, losses.py:16-20)."""
+    return sum(
+        jnp.linalg.norm(p.reshape(-1)) for p in jax.tree_util.tree_leaves(params)
+    )
+
+
+def interpolate_flame_batch(flame_labels: jnp.ndarray, rng) -> jnp.ndarray:
+    """Interpolate consecutive FLAME label rows with one shared uniform t,
+    keeping tex/light fixed (train.py:224-227)."""
+    t = jax.random.uniform(rng)
+    head = flame_labels[:-1, :159] + t * (
+        flame_labels[1:, :159] - flame_labels[:-1, :159]
+    )
+    return jnp.concatenate([head, flame_labels[:-1, 159:]], axis=-1)
+
+
+def texture_interpolation_loss(
+    res,
+    flame_batch: jnp.ndarray,
+    generator_apply,
+    rng,
+    *,
+    rendered_flame_as_condition: bool = True,
+    normal_maps_as_cond: bool = True,
+    max_ids: int = 1,
+    face_region_mask: jnp.ndarray | None = None,
+    image_size: int = 256,
+    max_tris_per_tile: int = 512,
+):
+    """Texture must be invariant to FLAME articulation (losses.py:160-236).
+
+    Renders the (already interpolated) DECA-format flame batch with a shared
+    light/texture code, generates images for ONE random fixed identity,
+    steals their textures, and penalizes pairwise texture differences inside
+    the face region under the common visibility mask.
+
+    Args:
+      flame_batch: (N, 236) un-normalized DECA params (N = batch - 1).
+      generator_apply: (cond_maps, indices) -> images, closure over params.
+
+    Returns scalar loss.
+    """
+    n = flame_batch.shape[0]
+    shape = flame_batch[:, 0:100]
+    exp = flame_batch[:, 100:150]
+    pose = flame_batch[:, 150:156]
+    cam = flame_batch[:, cnst.DECA_IDX["cam"][0] : cnst.DECA_IDX["cam"][1]]
+    light = jnp.tile(
+        flame_batch[0:1, cnst.DECA_IDX["lit"][0] : cnst.DECA_IDX["lit"][1]], (n, 1)
+    ).reshape(n, 9, 3)
+    tex = jnp.tile(
+        flame_batch[0:1, cnst.DECA_IDX["tex"][0] : cnst.DECA_IDX["tex"][1]], (n, 1)
+    )
+
+    maps = render_tex_and_normal(
+        res,
+        shape,
+        exp,
+        pose,
+        tex,
+        light,
+        cam,
+        image_size=image_size,
+        max_tris_per_tile=max_tris_per_tile,
+    )
+    rend = jnp.clip(maps.textured, 0.0, 1.0) * 2.0 - 1.0
+    norm = jnp.clip(maps.normal, 0.0, 1.0) * 2.0 - 1.0
+
+    if rendered_flame_as_condition and normal_maps_as_cond:
+        gen_in = jnp.concatenate([rend, norm], axis=-1)
+    elif rendered_flame_as_condition:
+        gen_in = rend
+    else:
+        gen_in = norm
+
+    rng_id, rng_pairs = jax.random.split(rng)
+    fixed_identity = jax.random.randint(rng_id, (), 0, max_ids)
+    indices = jnp.full((n,), fixed_identity, jnp.int32)
+    images = generator_apply(gen_in, indices)
+
+    textures, vis = flame_texture_space(res, images, flame_batch[:, :159])
+
+    if face_region_mask is None:
+        face_region_mask = jnp.ones(textures.shape[1:3], textures.dtype)
+    mask2d = face_region_mask[None, :, :, None]
+
+    # All (i, j) pairs over n samples; pick n random ones (losses.py:140-176
+    # builds pairs over max_num = batch-1 and samples max_num of them).
+    import numpy as np
+
+    pairs = np.array([(i, j) for i in range(n) for j in range(i + 1, n)])
+    n_pick = min(n, len(pairs))
+    sel = jax.random.choice(rng_pairs, len(pairs), (n_pick,), replace=False)
+    pi = jnp.asarray(pairs[:, 0])[sel]
+    pj = jnp.asarray(pairs[:, 1])[sel]
+
+    vis_f = vis.astype(textures.dtype)
+    common = vis_f[pi] * vis_f[pj]
+    tx_i = textures[pi] * common
+    tx_j = textures[pj] * common
+    per_pair = jnp.mean(jax.nn.sigmoid((tx_i - tx_j) ** 2) * mask2d, axis=(1, 2, 3))
+    return 16.0 * jnp.sum(per_pair) / n_pick

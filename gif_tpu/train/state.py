@@ -1,0 +1,79 @@
+"""Train state: one pytree carrying both networks, EMA, and optimizers.
+
+Mirrors the reference checkpoint contents (train.py:254-265): generator,
+EMA generator, discriminator, both Adam states, plus the loop counters —
+checkpointed as a single Orbax pytree (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.struct
+
+from gif_tpu.models import StyledGenerator, Discriminator
+from gif_tpu.train.config import TrainConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # scalar int32
+    g_params: Any
+    d_params: Any
+    g_ema_params: Any
+    buffers: Any  # frozen identity-embedding table
+    g_opt_state: Any
+    d_opt_state: Any
+    pl_mean: jnp.ndarray  # path-length running mean
+    used_samples: jnp.ndarray  # scalar int32 (train.py counter)
+
+
+def make_optimizers(cfg: TrainConfig):
+    """Adam with StyleGAN2 reg-ratio-scaled hyperparams (train.py:365-382)."""
+    g_tx = optax.adam(cfg.g_lr, b1=cfg.g_betas[0], b2=cfg.g_betas[1])
+    d_tx = optax.adam(cfg.d_lr, b1=cfg.d_betas[0], b2=cfg.d_betas[1])
+    return g_tx, d_tx
+
+
+def build_models(cfg: TrainConfig):
+    gen = StyledGenerator(
+        embedding_vocab_size=cfg.embedding_vocab_size,
+        n_mlp=cfg.nmlp_for_z_to_w,
+        core_tensor_res=cfg.core_tensor_res,
+        channel_multiplier=cfg.channel_multiplier,
+        apply_sqrt2=cfg.apply_sqrt_in_eq_linear,
+    )
+    disc = Discriminator(
+        size=cfg.max_size, channel_multiplier=cfg.channel_multiplier
+    )
+    return gen, disc
+
+
+def create_train_state(cfg: TrainConfig, rng: jax.Array, step: int | None = None) -> TrainState:
+    gen, disc = build_models(cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+    step = cfg.max_step if step is None else step
+    size = 4 * 2**step
+
+    rng_g, rng_d = jax.random.split(rng)
+    cond = jnp.zeros((1, size, size, cfg.cond_channels))
+    g_vars = gen.init(
+        rng_g, cond, input_indices=jnp.zeros((1,), jnp.int32), step=step
+    )
+    d_vars = disc.init(
+        rng_d, jnp.zeros((1, size, size, 3)), cond
+    )
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        g_params=g_vars["params"],
+        d_params=d_vars["params"],
+        g_ema_params=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
+        buffers=g_vars["buffers"],
+        g_opt_state=g_tx.init(g_vars["params"]),
+        d_opt_state=d_tx.init(d_vars["params"]),
+        pl_mean=jnp.asarray(0.0, jnp.float32),
+        used_samples=jnp.asarray(0, jnp.int32),
+    )

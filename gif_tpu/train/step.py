@@ -1,0 +1,288 @@
+"""The jitted GAN train step: D update + G update + EMA, one XLA program,
+data-parallel over a device mesh via ``shard_map``.
+
+TPU-first re-design of the reference iteration (train.py:80-252):
+
+- the whole iteration — including the on-device FLAME render of the
+  conditioning maps and the texture-interpolation loss's render + second
+  generator pass — compiles into ONE XLA program (no LMDB precompute, no
+  host round-trips);
+- data parallelism is explicit ``shard_map`` over a 1-D ``data`` mesh axis
+  with ``lax.pmean`` gradient all-reduce over ICI, replacing
+  ``nn.DataParallel`` (train.py:344,356,358);
+- minibatch-stddev and the interpolation loss operate per shard, matching
+  DataParallel's per-replica semantics (SURVEY.md §5.8);
+- R1 runs every ``r1_interval`` steps inside ``lax.cond`` (train.py:145-149);
+- EMA is a pure pytree op on replicated params (train.py:250).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gif_tpu import constants as cnst
+from gif_tpu.train.config import TrainConfig
+from gif_tpu.train.state import TrainState, build_models, make_optimizers
+from gif_tpu.train import losses as L
+from gif_tpu.render.renderer import render_tex_and_normal
+
+
+def render_condition_maps(
+    res, flame_params: jnp.ndarray, cfg: TrainConfig, max_tris_per_tile: int = 512
+) -> jnp.ndarray:
+    """FLAME 236-d params -> quantized [-1, 1] condition maps, on device.
+
+    Replaces the reference's DECA-rendered LMDB precompute
+    (prepare_lmdb/create_deca_rendered_lmdb.py): same OverLayViz
+    floor-quantization onto the 8-bit grid, then the dataset's
+    (x - 0.5)/0.5 normalization (dataset_loaders.py / torchvision transform).
+    """
+    b = flame_params.shape[0]
+    maps = render_tex_and_normal(
+        res,
+        flame_params[:, 0:100],
+        flame_params[:, 100:150],
+        flame_params[:, 150:156],
+        flame_params[:, cnst.DECA_IDX["tex"][0] : cnst.DECA_IDX["tex"][1]],
+        flame_params[:, cnst.DECA_IDX["lit"][0] : cnst.DECA_IDX["lit"][1]].reshape(
+            b, 9, 3
+        ),
+        flame_params[:, cnst.DECA_IDX["cam"][0] : cnst.DECA_IDX["cam"][1]],
+        image_size=cfg.render_image_size,
+        max_tris_per_tile=max_tris_per_tile,
+    )
+    rend = jnp.floor(jnp.clip(maps.textured, 0.0, 1.0) * 255.0) / 255.0
+    norm = jnp.floor(jnp.clip(maps.normal, 0.0, 1.0) * 255.0) / 255.0
+    parts = []
+    if cfg.rendered_flame_as_condition:
+        parts.append(rend * 2.0 - 1.0)
+    if cfg.normal_maps_as_cond:
+        parts.append(norm * 2.0 - 1.0)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    res,
+    mesh: Optional[Mesh] = None,
+    step_res: Optional[int] = None,
+    face_region_mask: Optional[np.ndarray] = None,
+    max_tris_per_tile: int = 512,
+):
+    """Build the jitted train step.
+
+    Returns ``train_step(state, batch, rng) -> (state, metrics)`` where
+    ``batch`` is a dict with:
+      real_image: (B, S, S, 3) in [-1, 1]
+      flame: (B, 236)
+      indices: (B,) int32 identity indices
+      cond: (B, S, S, C) optional precomputed maps (when not rendering
+        in-step).
+    With a mesh, arrays in ``batch`` must be sharded along axis 0.
+    """
+    gen, disc = build_models(cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+    step_idx = cfg.max_step if step_res is None else step_res
+    frm = (
+        jnp.asarray(face_region_mask, jnp.float32)
+        if face_region_mask is not None
+        else None
+    )
+
+    def d_apply(d_params, image, condition):
+        return disc.apply({"params": d_params}, image, condition)
+
+    def g_apply(g_params, buffers, cond, indices):
+        return gen.apply(
+            {"params": g_params, "buffers": buffers},
+            cond,
+            input_indices=indices,
+            step=step_idx,
+        )
+
+    def _step(state: TrainState, batch, rng):
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, lax.axis_index("data"))
+        rng_d, rng_g, rng_interp, rng_pl = jax.random.split(rng, 4)
+
+        real = batch["real_image"]
+        flame = batch["flame"]
+        indices = batch["indices"]
+        if cfg.render_in_step:
+            cond = render_condition_maps(res, flame, cfg, max_tris_per_tile)
+        else:
+            cond = batch["cond"]
+
+        # ------------------------------------------------------------------
+        # D update (train.py:82-178)
+        # ------------------------------------------------------------------
+        fake_images = lax.stop_gradient(
+            g_apply(state.g_params, state.buffers, cond, indices)
+        )
+        do_r1 = (state.step + 1) % cfg.r1_interval == 0
+
+        def d_loss_fn(d_params):
+            real_scores = d_apply(d_params, real, cond)
+            fake_scores = d_apply(d_params, fake_images, cond)
+            loss = L.d_ns_loss(real_scores, fake_scores)
+            r1 = lax.cond(
+                do_r1,
+                lambda: L.r1_penalty(d_apply, d_params, real, cond, cfg.r1_weight),
+                lambda: jnp.asarray(0.0, jnp.float32),
+            )
+            return loss + r1, (loss, r1)
+
+        (d_total, (d_loss, r1_val)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params)
+        if mesh is not None:
+            d_grads = lax.pmean(d_grads, "data")
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates
+        )
+
+        # ------------------------------------------------------------------
+        # G update (train.py:180-250)
+        # ------------------------------------------------------------------
+        def g_loss_fn(g_params):
+            fake = g_apply(g_params, state.buffers, cond, indices)
+            scores = d_apply(d_params, fake, cond)
+            loss = L.g_ns_loss(scores)
+            aux = {"g_adv": loss}
+
+            pl_mean = state.pl_mean
+            if cfg.gen_reg_type.lower() == "path_len_reg":
+                z = jax.random.normal(rng_pl, (real.shape[0], 512))
+
+                def gen_from_z(zz):
+                    return gen.apply(
+                        {"params": g_params, "buffers": state.buffers},
+                        cond,
+                        z=zz,
+                        step=step_idx,
+                    )
+
+                ppl, pl_mean = L.path_length_penalty(
+                    gen_from_z, z, state.pl_mean, rng=rng_pl
+                )
+                loss = loss + 2.0 * ppl
+                aux["ppl"] = ppl
+            elif cfg.gen_reg_type.lower() == "direct_grad_reg":
+                def img_pow_sum(c):
+                    out = gen.apply(
+                        {"params": g_params, "buffers": state.buffers},
+                        c,
+                        input_indices=indices,
+                        step=step_idx,
+                    )
+                    return jnp.sum(out**2)
+
+                g_c = jax.grad(img_pow_sum)(cond)
+                per_sample = jnp.sum(g_c.reshape(g_c.shape[0], -1) ** 2, axis=1)
+                loss = loss + 8e-8 * per_sample.mean()
+
+            if cfg.embedding_reg_weight > 0:
+                # Reference regularizes the z->w mapping weights
+                # (train.py:217-219).
+                loss = loss + cfg.embedding_reg_weight * L.l2_param_norm(
+                    g_params["mapping"]
+                )
+
+            if cfg.apply_texture_space_interpolation_loss:
+                flm_interp = L.interpolate_flame_batch(flame, rng_interp)
+
+                def gen_for_interp(cond_maps, idx):
+                    return gen.apply(
+                        {"params": g_params, "buffers": state.buffers},
+                        cond_maps,
+                        input_indices=idx,
+                        step=step_idx,
+                    )
+
+                interp = L.texture_interpolation_loss(
+                    res,
+                    flm_interp,
+                    gen_for_interp,
+                    rng_interp,
+                    rendered_flame_as_condition=cfg.rendered_flame_as_condition,
+                    normal_maps_as_cond=cfg.normal_maps_as_cond,
+                    max_ids=cfg.embedding_vocab_size,
+                    face_region_mask=frm,
+                    image_size=cfg.render_image_size,
+                    max_tris_per_tile=max_tris_per_tile,
+                )
+                if cfg.adaptive_interp_loss:
+                    interp = interp * 0.25 * lax.stop_gradient(
+                        aux["g_adv"]
+                    ) / lax.stop_gradient(interp)
+                loss = loss + interp
+                aux["interp"] = interp
+
+            aux["pl_mean"] = pl_mean
+            return loss, aux
+
+        (g_total, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        if mesh is not None:
+            g_grads = lax.pmean(g_grads, "data")
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.g_params, g_updates
+        )
+
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * cfg.ema_decay + p * (1.0 - cfg.ema_decay),
+            state.g_ema_params,
+            g_params,
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_ema_params=ema,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            pl_mean=g_aux["pl_mean"],
+            used_samples=state.used_samples
+            + real.shape[0] * (1 if mesh is None else mesh.devices.size),
+        )
+        metrics = {
+            "d_loss": d_loss,
+            "g_loss": g_aux["g_adv"],
+            "r1": r1_val,
+            "g_total": g_total,
+        }
+        if "interp" in g_aux:
+            metrics["interp"] = g_aux["interp"]
+        if mesh is not None:
+            metrics = lax.pmean(metrics, "data")
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(_step)
+
+    state_spec = P()
+    batch_spec = {k: P("data") for k in ["real_image", "flame", "indices", "cond"]}
+
+    def wrapped(state, batch, rng):
+        specs = {k: batch_spec[k] for k in batch}
+        return shard_map(
+            _step,
+            mesh=mesh,
+            in_specs=(state_spec, specs, P()),
+            out_specs=(state_spec, P()),
+            check_vma=False,
+        )(state, batch, rng)
+
+    return jax.jit(wrapped)
