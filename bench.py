@@ -1,0 +1,80 @@
+"""Benchmark: full GIF train step (G+D fwd-bwd + on-device FLAME render) at
+FFHQ-256, batch 16, on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation: the reference publishes no throughput numbers
+(BASELINE.md).  The only in-repo cost anecdote is ~17 s/iter at batch 16 with
+the gradient penalty applied every iteration (reference train.py:145
+comment).  We therefore run the SAME configuration (R1 every iteration,
+run_id-8 conditioning, 256px, global batch 16) and report
+vs_baseline = imgs_per_sec / (16 / 17).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gif_tpu.train import get_config, create_train_state, make_train_step
+    from gif_tpu.flame.resources import synthetic_flame_resources
+
+    batch = 16
+    cfg = get_config(
+        8,  # both conditions, no interp loss — the reference's GP-cost config
+        embedding_vocab_size=1024,
+        batch_size=batch,
+        r1_interval=1,  # match the 17 s/iter reference anecdote (GP every iter)
+    )
+    res = synthetic_flame_resources()
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, res, max_tris_per_tile=512)
+
+    rng = np.random.default_rng(0)
+    flame = np.zeros((batch, 236), np.float32)
+    flame[:, :100] = rng.standard_normal((batch, 100)).astype(np.float32) * 0.1
+    flame[:, 150:156] = rng.standard_normal((batch, 6)).astype(np.float32) * 0.05
+    flame[:, 156] = 8.0
+    flame[:, 209:212] = 3.0
+    data = {
+        "real_image": jnp.asarray(
+            rng.uniform(-1, 1, (batch, 256, 256, 3)).astype(np.float32)
+        ),
+        "flame": jnp.asarray(flame),
+        "indices": jnp.asarray(rng.integers(0, 1024, batch), jnp.int32),
+    }
+
+    key = jax.random.PRNGKey(1)
+    # Warmup / compile.
+    state, _ = step_fn(state, data, key)
+    jax.block_until_ready(state)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, metrics = step_fn(state, data, jax.random.fold_in(key, i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    baseline = 16.0 / 17.0  # imgs/sec from the reference's 17 s/iter anecdote
+    print(
+        json.dumps(
+            {
+                "metric": "ffhq256_train_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec",
+                "vs_baseline": round(imgs_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
