@@ -1,0 +1,115 @@
+"""Convert the reference's LMDB datasets into packed arrays.
+
+The reference stores FFHQ frames JPEG-encoded in a multiscale LMDB keyed
+``f'{res}-{idx:05d}'`` (prepare_lmdb/prepare_ffhq_multiscale_dataset.py) and
+FLAME parameters in one ``.npy`` dict of 70k entries (dataset_loaders.py:
+365-367).  This tool reads both and writes:
+
+  out_dir/images.npy        (N, S, S, 3) uint8, mem-mappable
+  out_dir/dataset.npz       flame_params (N, 236), bad_images, images_path
+
+Pre-rendered DECA condition LMDBs are deliberately NOT imported — the TPU
+pipeline renders conditions on-device (SURVEY.md §2.17).
+
+Requires the optional ``lmdb`` and ``PIL`` packages (import-gated).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+
+
+def _assemble_flame_vector(entry: dict) -> np.ndarray:
+    """DECA per-image dict -> 236-d vector [shape|exp|pose|cam|tex|lit]
+    (dataset_loaders.py:306-310)."""
+    parts = [
+        np.asarray(entry["shape"]).reshape(-1)[:100],
+        np.asarray(entry["exp"]).reshape(-1)[:50],
+        np.asarray(entry["pose"]).reshape(-1)[:6],
+        np.asarray(entry["cam"]).reshape(-1)[:3],
+        np.asarray(entry["tex"]).reshape(-1)[:50],
+        np.asarray(entry["lit"]).reshape(-1)[:27],
+    ]
+    return np.concatenate(parts).astype(np.float32)
+
+
+def import_ffhq_lmdb(
+    lmdb_path: str,
+    flame_params_file: str,
+    out_dir: str,
+    resolution: int = 256,
+    bad_images_file: str | None = None,
+    limit: int | None = None,
+) -> str:
+    try:
+        import lmdb
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError(
+            "lmdb/PIL are required for importing the reference datasets: "
+            f"{e}"
+        ) from e
+
+    os.makedirs(out_dir, exist_ok=True)
+    params_raw = np.load(flame_params_file, allow_pickle=True)
+    if params_raw.dtype == object and params_raw.ndim == 0:
+        params_raw = params_raw.item()
+
+    env = lmdb.open(
+        lmdb_path, max_readers=32, readonly=True, lock=False, readahead=False
+    )
+    with env.begin(write=False) as txn:
+        n = int(txn.get("length".encode("utf-8")).decode("utf-8"))
+        if limit:
+            n = min(n, limit)
+        images = np.lib.format.open_memmap(
+            os.path.join(out_dir, "images.npy"),
+            mode="w+",
+            dtype=np.uint8,
+            shape=(n, resolution, resolution, 3),
+        )
+        flame = np.zeros((n, 236), np.float32)
+        for i in range(n):
+            key = f"{resolution}-{str(i).zfill(5)}".encode("utf-8")
+            img = Image.open(io.BytesIO(txn.get(key))).convert("RGB")
+            images[i] = np.asarray(img, np.uint8)
+            entry = params_raw[i] if not isinstance(params_raw, dict) else params_raw[i]
+            flame[i] = _assemble_flame_vector(entry)
+    images.flush()
+
+    bad = np.zeros((0,), np.int64)
+    if bad_images_file and os.path.exists(bad_images_file):
+        bad = np.load(bad_images_file)["bad_images"].astype(np.int64)
+
+    out = os.path.join(out_dir, "dataset.npz")
+    np.savez(
+        out,
+        flame_params=flame,
+        bad_images=bad,
+        images_path=os.path.join(out_dir, "images.npy"),
+    )
+    return out
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--lmdb", required=True)
+    p.add_argument("--flame_params", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--bad_images", default=None)
+    p.add_argument("--limit", type=int, default=None)
+    a = p.parse_args()
+    out = import_ffhq_lmdb(
+        a.lmdb, a.flame_params, a.out_dir, a.resolution, a.bad_images, a.limit
+    )
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Array-backed FFHQ+FLAME dataset and a prefetching batch iterator.
+
+TPU-first re-design of the reference ``FFHQ`` dataset (dataset_loaders.py:
+94-397): because condition maps are rendered on-device inside the train step,
+the host pipeline only supplies (real image, 236-d FLAME parameter vector,
+identity index).  Storage is memory-mapped npy/npz arrays (images uint8
+NHWC), converted from the reference's LMDBs by :mod:`gif_tpu.data.
+lmdb_import`; a deterministic synthetic dataset stands in when no real data
+is present.
+
+Reference behaviors preserved:
+- bad DECA fits are skipped by resampling (dataset_loaders.py:243-246);
+- optional horizontal flip zeroes the FLAME label (the fit no longer matches
+  the mirrored image, dataset_loaders.py:322-327);
+- a rolling 10k-parameter accumulator feeds the FID conditioning protocol
+  (dataset_loaders.py:200-223).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class FlameDataset:
+    """images: (N, S, S, 3) uint8; flame: (N, 236) float32."""
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        flame_params: np.ndarray,
+        bad_images: Optional[np.ndarray] = None,
+        horizontal_flip: bool = False,
+    ):
+        assert len(images) == len(flame_params)
+        self.images = images
+        self.flame_params = np.asarray(flame_params, np.float32)
+        self.horizontal_flip = horizontal_flip
+        n = len(images)
+        good = np.ones(n, bool)
+        if bad_images is not None and len(bad_images):
+            good[np.asarray(bad_images, np.int64)] = False
+        self.good_indices = np.nonzero(good)[0]
+        # FID conditioning accumulator (rolling, capacity 10k).
+        self._flm_buffer: list[np.ndarray] = []
+        self._flm_count = 0
+
+    def __len__(self) -> int:
+        return len(self.good_indices)
+
+    @property
+    def image_size(self) -> int:
+        return self.images.shape[1]
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int):
+        """Uniform batch over good samples -> dict of host arrays."""
+        idx = rng.choice(self.good_indices, size=batch_size, replace=False)
+        imgs = self.images[idx].astype(np.float32) / 127.5 - 1.0
+        flame = self.flame_params[idx].copy()
+        if self.horizontal_flip:
+            flip = rng.random(batch_size) < 0.5
+            imgs[flip] = imgs[flip, :, ::-1]
+            flame[flip] = 0.0
+        return {
+            "real_image": imgs,
+            "flame": flame,
+            "indices": idx.astype(np.int32),
+        }
+
+    # --- FID conditioning accumulator (dataset_loaders.py:200-223) ---
+
+    def accumulate_batches_of_flm(self, flame_batch: np.ndarray) -> None:
+        self._flm_buffer.append(np.asarray(flame_batch))
+        self._flm_count += len(flame_batch)
+        while self._flm_count - len(self._flm_buffer[0]) >= 10_000:
+            self._flm_count -= len(self._flm_buffer[0])
+            self._flm_buffer.pop(0)
+
+    def get_10k_flame_params(self, rng: Optional[np.random.Generator] = None):
+        """(params (<=10k, 236), indices) for the FID protocol."""
+        if not self._flm_buffer:
+            raise RuntimeError("no FLAME parameters accumulated yet")
+        params = np.concatenate(self._flm_buffer, axis=0)[:10_000]
+        rng = rng or np.random.default_rng(0)
+        indices = rng.integers(0, max(len(self), 1), size=len(params)).astype(np.int32)
+        return params, indices
+
+
+class SyntheticFlameDataset(FlameDataset):
+    """Deterministic random dataset with GIF-shaped statistics for tests and
+    benchmarking without the licensed FFHQ/DECA artifacts."""
+
+    def __init__(self, n: int = 256, size: int = 256, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        images = rng.integers(0, 256, size=(n, size, size, 3), dtype=np.uint8)
+        flame = np.zeros((n, 236), np.float32)
+        flame[:, :100] = rng.standard_normal((n, 100)) * 0.5  # shape
+        flame[:, 100:150] = rng.standard_normal((n, 50)) * 0.3  # exp
+        flame[:, 150:156] = rng.standard_normal((n, 6)) * 0.05  # pose
+        flame[:, 156] = 8.0 + rng.standard_normal(n) * 0.3  # cam scale
+        flame[:, 157:159] = rng.standard_normal((n, 2)) * 0.02
+        flame[:, 159:209] = rng.standard_normal((n, 50)) * 0.5  # tex
+        flame[:, 209:212] = 3.0  # constant SH band
+        flame[:, 212:236] = rng.standard_normal((n, 24)) * 0.2
+        bad = rng.choice(n, size=n // 50, replace=False) if n >= 50 else None
+        super().__init__(images, flame, bad_images=bad)
+
+
+def load_packed_dataset(path: str, **kwargs) -> FlameDataset:
+    """Load an ``.npz`` produced by gif_tpu.data.lmdb_import (keys: images,
+    flame_params, optional bad_images); images may be a separate mem-mapped
+    ``.npy`` referenced by the ``images_path`` key."""
+    data = np.load(path, allow_pickle=False, mmap_mode="r")
+    images = data["images"]
+    return FlameDataset(
+        images=images,
+        flame_params=data["flame_params"],
+        bad_images=data["bad_images"] if "bad_images" in data else None,
+        **kwargs,
+    )
+
+
+def data_iterator(
+    dataset: FlameDataset,
+    batch_size: int,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """Infinite prefetching iterator (replaces the 16-worker torch DataLoader,
+    dataset_loaders.py:390-397) — a daemon thread keeps ``prefetch`` batches
+    ready so host assembly overlaps device compute."""
+    rng = np.random.default_rng(seed)
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        while not stop.is_set():
+            batch = dataset.sample_batch(rng, batch_size)
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()

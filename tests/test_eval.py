@@ -1,0 +1,163 @@
+"""FID / Inception tests.
+
+The non-FID variant is checked numerically against torchvision's
+inception_v3 with randomly initialized weights converted through
+``convert_torch_inception`` — this validates the whole architecture and the
+conversion path without downloading pretrained weights.  The FID variant's
+only deltas are documented pooling changes."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gif_tpu.eval import (
+    InceptionV3FID,
+    convert_torch_inception,
+    FidComputer,
+    frechet_distance,
+    activation_statistics,
+)
+
+
+def test_frechet_distance_identity():
+    rng = np.random.default_rng(0)
+    acts = rng.standard_normal((500, 16))
+    mu, sigma = activation_statistics(acts)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_distance_mean_shift():
+    """For equal covariance, FID == |mu1 - mu2|^2."""
+    rng = np.random.default_rng(1)
+    sigma = np.eye(8)
+    mu1 = rng.standard_normal(8)
+    mu2 = mu1 + 0.5
+    d = frechet_distance(mu1, sigma, mu2, sigma)
+    np.testing.assert_allclose(d, np.sum((mu1 - mu2) ** 2), atol=1e-6)
+
+
+def test_frechet_distance_matches_reference_formula():
+    rng = np.random.default_rng(2)
+    a1 = rng.standard_normal((300, 12))
+    a2 = rng.standard_normal((300, 12)) * 1.3 + 0.2
+    mu1, s1 = activation_statistics(a1)
+    mu2, s2 = activation_statistics(a2)
+    from scipy import linalg
+
+    covmean = linalg.sqrtm(s1 @ s2).real
+    expected = (mu1 - mu2) @ (mu1 - mu2) + np.trace(s1 + s2 - 2 * covmean)
+    got = frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_basic_conv_conversion_parity():
+    """_convert_basic must fold a torch conv+bn(eval) exactly."""
+    import torch
+
+    torch.manual_seed(0)
+    conv = torch.nn.Conv2d(5, 7, 3, stride=2, bias=False)
+    bn = torch.nn.BatchNorm2d(7, eps=0.001)
+    bn.running_mean.normal_()
+    bn.running_var.uniform_(0.5, 2.0)
+    bn.weight.data.normal_()
+    bn.bias.data.normal_()
+    conv.eval(), bn.eval()
+
+    sd = {
+        "blk.conv.weight": conv.weight.detach().numpy(),
+        "blk.bn.weight": bn.weight.detach().numpy(),
+        "blk.bn.bias": bn.bias.detach().numpy(),
+        "blk.bn.running_mean": bn.running_mean.numpy(),
+        "blk.bn.running_var": bn.running_var.numpy(),
+    }
+    from gif_tpu.eval.inception import _convert_basic, BasicConv2d
+
+    params = _convert_basic(sd, "blk")
+    x = np.random.default_rng(0).standard_normal((2, 11, 11, 5)).astype(np.float32)
+    got = np.asarray(
+        BasicConv2d(7, (3, 3), stride=2).apply({"params": params}, jnp.asarray(x))
+    )
+    with torch.no_grad():
+        ref = torch.relu(bn(conv(torch.from_numpy(x.transpose(0, 3, 1, 2))))).numpy()
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_inception_matches_torchvision_random_weights():
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+
+    torch.manual_seed(0)
+    tv = torchvision.models.inception_v3(
+        weights=None, aux_logits=True, init_weights=True
+    )
+    tv.eval()
+    sd = {k: v.detach().numpy() for k, v in tv.state_dict().items()}
+    params = convert_torch_inception(sd)
+
+    model = InceptionV3FID(fid_variant=False)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 299, 299, 3)).astype(np.float32)
+
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+    # torchvision forward up to pool3.
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        m = tv
+        t = m.Conv2d_1a_3x3(t)
+        t = m.Conv2d_2a_3x3(t)
+        t = m.Conv2d_2b_3x3(t)
+        t = m.maxpool1(t)
+        t = m.Conv2d_3b_1x1(t)
+        t = m.Conv2d_4a_3x3(t)
+        t = m.maxpool2(t)
+        t = m.Mixed_5b(t)
+        t = m.Mixed_5c(t)
+        t = m.Mixed_5d(t)
+        t = m.Mixed_6a(t)
+        t = m.Mixed_6b(t)
+        t = m.Mixed_6c(t)
+        t = m.Mixed_6d(t)
+        t = m.Mixed_6e(t)
+        t = m.Mixed_7a(t)
+        t = m.Mixed_7b(t)
+        t = m.Mixed_7c(t)
+        ref = torch.nn.functional.adaptive_avg_pool2d(t, (1, 1)).flatten(1).numpy()
+
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_fid_computer_end_to_end_small():
+    """Relative-metric sanity with random inception weights: FID(same dist)
+    << FID(different dist)."""
+    model = InceptionV3FID()
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+    )["params"]
+    fc = FidComputer(params, batch_size=8)
+
+    imgs_a = rng.uniform(0, 1, (16, 64, 64, 3)).astype(np.float32)
+    imgs_b = rng.uniform(0, 1, (16, 64, 64, 3)).astype(np.float32)
+    imgs_c = np.clip(
+        rng.uniform(0, 1, (16, 64, 64, 3)) ** 4, 0, 1
+    ).astype(np.float32)
+
+    fid_same = fc.get_fid(imgs_b * 2 - 1, real_images01=imgs_a)
+    fid_diff = fc.get_fid(imgs_c * 2 - 1, real_images01=imgs_a)
+    assert np.isfinite(fid_same) and np.isfinite(fid_diff)
+    assert fid_diff > fid_same
+
+
+def test_real_stats_cache(tmp_path):
+    model = InceptionV3FID()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))["params"]
+    fc = FidComputer(params, stats_dir=str(tmp_path), batch_size=8)
+    rng = np.random.default_rng(0)
+    real = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    mu1, s1 = fc.real_statistics(real, 32)
+    assert (tmp_path / "ffhq_32X32_fid_stats.npz").exists()
+    mu2, s2 = fc.real_statistics(None, 32)  # from cache
+    np.testing.assert_allclose(mu1, mu2)
