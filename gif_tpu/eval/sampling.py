@@ -1,0 +1,94 @@
+"""Batched sampling from FLAME parameters with the EMA generator.
+
+Re-creates the reference sampling stack used by every eval entry point
+(my_utils/generic_utils.py:33-55 ``get_images_from_flame_params`` +
+plots/generate_random_samples.py): eye-centre the camera, render the
+conditioning maps on-device, then run the (EMA) generator — all one jitted
+function per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gif_tpu.flame.camera import position_to_given_location
+from gif_tpu.train.config import TrainConfig
+from gif_tpu.train.state import build_models
+from gif_tpu.train.step import render_condition_maps
+
+
+class FlameSampler:
+    """generator(flame_params_236, indices) -> images, batched."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        res,
+        g_params,
+        buffers,
+        batch_size: int = 16,
+        eye_center: bool = True,
+        max_tris_per_tile: int = 512,
+    ):
+        self.cfg = cfg
+        self.res = res
+        self.batch_size = batch_size
+        gen, _ = build_models(cfg)
+
+        def _sample(g_params, buffers, flame, indices):
+            if eye_center:
+                flame = position_to_given_location(res, flame)
+            cond = render_condition_maps(res, flame, cfg, max_tris_per_tile)
+            return gen.apply(
+                {"params": g_params, "buffers": buffers},
+                cond,
+                input_indices=indices,
+                step=cfg.max_step,
+            ), cond
+
+        self._fn = jax.jit(_sample)
+        self._g_params = g_params
+        self._buffers = buffers
+
+    def sample(self, flame_params: np.ndarray, indices: np.ndarray):
+        """Host-side batched driver (generic_utils.py:33-55): returns
+        (images [-1,1] (N,S,S,3), cond maps (N,S,S,C)) as numpy."""
+        n = len(flame_params)
+        bs = self.batch_size
+        imgs, conds = [], []
+        for i in range(0, n, bs):
+            fl = np.asarray(flame_params[i : i + bs], np.float32)
+            ix = np.asarray(indices[i : i + bs], np.int32)
+            pad = bs - len(fl)
+            if pad:
+                fl = np.concatenate([fl, np.repeat(fl[-1:], pad, 0)])
+                ix = np.concatenate([ix, np.repeat(ix[-1:], pad, 0)])
+            img, cond = self._fn(self._g_params, self._buffers, jnp.asarray(fl), jnp.asarray(ix))
+            imgs.append(np.asarray(img)[: bs - pad])
+            conds.append(np.asarray(cond)[: bs - pad])
+        return np.concatenate(imgs), np.concatenate(conds)
+
+
+def random_flame_params(
+    rng: np.random.Generator,
+    n: int,
+    dataset_params: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Random shape/exp/pose with dataset-sourced cam/tex/light when
+    available (plots/generate_random_samples.py:60-130 draws 3-sigma
+    shape/exp and real tex/cam/light rows)."""
+    flame = np.zeros((n, 236), np.float32)
+    flame[:, :100] = rng.standard_normal((n, 100)) * 1.0
+    flame[:, 100:150] = rng.standard_normal((n, 50)) * 0.7
+    flame[:, 150:156] = rng.standard_normal((n, 6)) * 0.05
+    if dataset_params is not None:
+        rows = rng.integers(0, len(dataset_params), n)
+        flame[:, 156:] = dataset_params[rows, 156:]
+    else:
+        flame[:, 156] = 8.0
+        flame[:, 209:212] = 3.0
+    return flame

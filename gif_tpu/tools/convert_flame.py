@@ -1,0 +1,117 @@
+"""Convert official FLAME artifacts into the consolidated resource npz.
+
+Inputs (licensed, obtain from the FLAME/DECA project pages — reference
+constants.py:63-79):
+  generic_model.pkl        FLAME 2020 model (chumpy arrays inside)
+  FLAME_texture.npz        PCA texture space ('mean', 'tex_dir')
+  landmark_embedding.npy   static+dynamic landmark embedding
+  texture_data_256.npy     FlameTextureSpace precompute
+  head_template_mesh.obj   template with UV coordinates
+
+Output: one ``.npz`` loadable by gif_tpu.flame.resources.load_flame_resources.
+
+Usage:
+  python -m gif_tpu.tools.convert_flame --flame generic_model.pkl \
+      --texture FLAME_texture.npz --lmk landmark_embedding.npy \
+      --texdata texture_data_256.npy --obj head_template_mesh.obj \
+      --out resources/flame/flame2020_generic.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import numpy as np
+
+
+def _to_np(x):
+    """chumpy/scipy-sparse/np -> dense float32 numpy."""
+    if hasattr(x, "toarray"):
+        return np.asarray(x.toarray(), np.float32)
+    if hasattr(x, "r"):  # chumpy
+        return np.asarray(x.r, np.float32)
+    return np.asarray(x, np.float32)
+
+
+def convert(flame_pkl, texture_npz, lmk_file, texdata_file, obj_file, out_path):
+    from gif_tpu.flame.resources import FlameResources, save_flame_resources
+    from gif_tpu.flame.mesh import load_obj
+
+    with open(flame_pkl, "rb") as f:
+        model = pickle.load(f, encoding="latin1")
+
+    shapedirs_full = _to_np(model["shapedirs"])  # (V, 3, 400)
+    res_kwargs = dict(
+        v_template=_to_np(model["v_template"]),
+        shapedirs=shapedirs_full[:, :, :100],
+        expdirs=shapedirs_full[:, :, 300:350],
+        posedirs=_to_np(model["posedirs"]).reshape(-1, 36).T
+        if _to_np(model["posedirs"]).ndim == 3
+        else _to_np(model["posedirs"]),
+        j_regressor=_to_np(model["J_regressor"]),
+        lbs_weights=_to_np(model["weights"]),
+        faces=np.asarray(model["f"], np.int32),
+        parents=np.asarray(model["kintree_table"][0], np.int32)
+        if "kintree_table" in model
+        else np.array([-1, 0, 1, 1, 1], np.int32),
+    )
+    # posedirs in FLAME pkl: (V, 3, 36) -> (36, V*3)
+    pd = _to_np(model["posedirs"])
+    if pd.ndim == 3:
+        res_kwargs["posedirs"] = pd.reshape(-1, pd.shape[-1]).T
+
+    tex = np.load(texture_npz)
+    res_kwargs["tex_mean"] = np.asarray(tex["mean"], np.float32).reshape(512, 512, 3)
+    n_tex = 50
+    res_kwargs["tex_dirs"] = (
+        np.asarray(tex["tex_dir"], np.float32).reshape(512, 512, 3, -1)[..., :n_tex]
+    )
+
+    lmk = np.load(lmk_file, allow_pickle=True, encoding="latin1")
+    if hasattr(lmk, "item"):
+        lmk = lmk.item()
+    res_kwargs["lmk_faces"] = np.asarray(
+        lmk["static_lmk_faces_idx"], np.int32
+    ).reshape(-1)
+    res_kwargs["lmk_bary"] = np.asarray(
+        lmk["static_lmk_bary_coords"], np.float32
+    ).reshape(-1, 3)
+
+    td = np.load(texdata_file, allow_pickle=True, encoding="latin1").item()
+    res_kwargs["texture_x_coords"] = np.asarray(td["x_coords"], np.int64)
+    res_kwargs["texture_y_coords"] = np.asarray(td["y_coords"], np.int64)
+    res_kwargs["texture_valid_pixel_ids"] = np.asarray(
+        td["valid_pixel_ids"], np.int64
+    )
+    res_kwargs["texture_valid_faces"] = np.asarray(
+        td["valid_pixel_3d_faces"], np.int32
+    )
+    res_kwargs["texture_valid_bary"] = np.asarray(
+        td["valid_pixel_b_coords"], np.float32
+    )
+
+    _, _, uvs, _ = load_obj(obj_file)
+    if uvs is None:
+        raise ValueError("template OBJ carries no UV coordinates")
+    res_kwargs["uv_coords"] = np.asarray(uvs, np.float32)[: len(res_kwargs["v_template"])]
+
+    res = FlameResources(**res_kwargs)
+    save_flame_resources(res, out_path)
+    return out_path
+
+
+def main():  # pragma: no cover
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--flame", required=True)
+    p.add_argument("--texture", required=True)
+    p.add_argument("--lmk", required=True)
+    p.add_argument("--texdata", required=True)
+    p.add_argument("--obj", required=True)
+    p.add_argument("--out", required=True)
+    a = p.parse_args()
+    print(convert(a.flame, a.texture, a.lmk, a.texdata, a.obj, a.out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Convert FID InceptionV3 torch weights to flax params.
+
+The canonical weights are pt_inception-2015-12-05 (the TF-compatible FID
+port, URL in reference my_utils/pytorch_fid/inception.py:14).  Run where the
+file is available:
+
+  python -m gif_tpu.tools.convert_inception --torch_weights pt_inception.pth \
+      --out resources/inception_fid.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def convert(torch_weights_path: str, out_path: str) -> str:
+    import torch
+
+    from gif_tpu.eval.inception import convert_torch_inception
+
+    sd = torch.load(torch_weights_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    params = convert_torch_inception(sd)
+
+    flat = {}
+
+    def _flatten(prefix, tree):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                _flatten(key, v)
+            else:
+                flat[key] = np.asarray(v)
+
+    _flatten("", params)
+    np.savez_compressed(out_path, **flat)
+    return out_path
+
+
+def load_converted_params(path: str) -> dict:
+    """Load an npz produced by :func:`convert` back into a nested dict."""
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
+def main():  # pragma: no cover
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--torch_weights", required=True)
+    p.add_argument("--out", required=True)
+    a = p.parse_args()
+    print(convert(a.torch_weights, a.out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""The training loop: data -> sharded step -> metrics / FID / checkpoints.
+
+Mirrors the reference loop's observable behavior (train.py:28-303): FID on
+10k accumulated FLAME params every ``fid_every`` iters, a 10x5 sample grid
+with FID in the filename, checkpoints every ``checkpoint_every`` iters, and
+a running status line — with structured CSV metrics on top (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gif_tpu.train.config import TrainConfig
+from gif_tpu.train.state import create_train_state
+from gif_tpu.train.step import make_train_step
+from gif_tpu.train.checkpoint import CheckpointManager
+from gif_tpu.data.pipeline import FlameDataset, data_iterator
+from gif_tpu.eval.sampling import FlameSampler
+from gif_tpu.utils.viz import VisualizationSaver
+
+
+class MetricsLogger:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self._wrote_header = os.path.exists(path)
+
+    def log(self, step: int, metrics: dict):
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if not self._wrote_header:
+                w.writeheader()
+                self._wrote_header = True
+            w.writerow(row)
+
+
+def train(
+    cfg: TrainConfig,
+    dataset: FlameDataset,
+    res,
+    out_dir: str,
+    total_iters: int = 3_000_000,
+    mesh: Optional[Mesh] = None,
+    fid_computer=None,
+    resume: bool = True,
+    log_every: int = 50,
+    fid_n_samples: int = 10_000,
+):
+    """Run training.  ``out_dir`` gets checkpoint/{run_id}, sample/{run_id},
+    metrics.csv."""
+    run_dir = os.path.join(out_dir, str(cfg.run_id))
+    ckpt = CheckpointManager(
+        os.path.join(run_dir, "checkpoint"), save_every=cfg.checkpoint_every
+    )
+    logger = MetricsLogger(os.path.join(run_dir, "metrics.csv"))
+    viz = VisualizationSaver(run_dir, cfg.run_id)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.run_id))
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"restored checkpoint at step {int(state.step)}")
+
+    step_fn = make_train_step(cfg, res, mesh=mesh)
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        data_sharding = NamedSharding(mesh, P("data"))
+    else:
+        data_sharding = None
+
+    it = data_iterator(dataset, cfg.batch_size, seed=cfg.run_id)
+    rng_key = jax.random.PRNGKey(1234 + cfg.run_id)
+    fid = float("nan")
+    t_last = time.perf_counter()
+
+    start = int(state.step)
+    for i in range(start, total_iters):
+        batch_np = next(it)
+        dataset.accumulate_batches_of_flm(batch_np["flame"])
+        if data_sharding is not None:
+            batch = {
+                k: jax.device_put(v, data_sharding) for k, v in batch_np.items()
+            }
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng_key, i))
+
+        if (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            m["imgs_per_sec"] = cfg.batch_size * log_every / dt
+            m["fid"] = fid
+            logger.log(i + 1, m)
+            print(
+                f"[{i + 1}] G {m['g_loss']:.3f} D {m['d_loss']:.3f} "
+                f"fid {fid:.1f} {m['imgs_per_sec']:.1f} img/s"
+            )
+
+        if (i + 1) % cfg.fid_every == 0 and fid_computer is not None:
+            flame_10k, idx_10k = dataset.get_10k_flame_params()
+            flame_10k = flame_10k[:fid_n_samples]
+            idx_10k = idx_10k[: len(flame_10k)]
+            sampler = FlameSampler(
+                cfg, res, state.g_ema_params, state.buffers,
+                batch_size=min(cfg.batch_size, 16), eye_center=False,
+            )
+            images, _ = sampler.sample(flame_10k, idx_10k)
+            fid = fid_computer.get_fid(images)
+            if viz.flame_params is None:
+                viz.set_flame_params(flame_10k[:50], idx_10k[:50])
+            viz.save_samples(
+                i,
+                lambda f, ix: sampler.sample(f, ix)[0],
+                resolution=cfg.max_size,
+                fid=fid,
+            )
+
+        ckpt.maybe_save(state)
+
+    ckpt.save(state)
+    return state

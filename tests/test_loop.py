@@ -1,0 +1,80 @@
+"""End-to-end training-loop smoke test on a tiny config: a few iterations,
+checkpoint save + resume, metrics file, sampler round trip."""
+
+import os
+
+import numpy as np
+import jax
+
+from gif_tpu.train import get_config
+from gif_tpu.train.loop import train
+from gif_tpu.train.checkpoint import CheckpointManager
+from gif_tpu.train.state import create_train_state
+from gif_tpu.data.pipeline import SyntheticFlameDataset, data_iterator
+from gif_tpu.flame.resources import synthetic_flame_resources
+from gif_tpu.eval.sampling import FlameSampler
+
+RES = synthetic_flame_resources(seed=1, n_vertices=503)
+
+
+def _cfg(**over):
+    base = dict(
+        embedding_vocab_size=32,
+        max_size=32,
+        init_size=32,
+        render_image_size=32,
+        batch_size=4,
+        apply_texture_space_interpolation_loss=False,
+        checkpoint_every=2,
+        fid_every=10_000,
+    )
+    base.update(over)
+    return get_config(8, **base)
+
+
+def test_loop_runs_checkpoints_and_resumes(tmp_path):
+    cfg = _cfg()
+    ds = SyntheticFlameDataset(n=32, size=32)
+    out = str(tmp_path)
+
+    state = train(cfg, ds, RES, out, total_iters=3, log_every=2)
+    assert int(state.step) == 3
+    assert os.path.exists(os.path.join(out, "8", "metrics.csv"))
+
+    # Resume continues from the saved step.
+    state2 = train(cfg, ds, RES, out, total_iters=5, log_every=2)
+    assert int(state2.step) == 5
+
+
+def test_dataset_iterator_and_accumulator():
+    ds = SyntheticFlameDataset(n=64, size=16)
+    it = data_iterator(ds, 8, seed=0)
+    b = next(it)
+    assert b["real_image"].shape == (8, 16, 16, 3)
+    assert b["real_image"].min() >= -1 and b["real_image"].max() <= 1
+    assert b["flame"].shape == (8, 236)
+    ds.accumulate_batches_of_flm(b["flame"])
+    params, idx = ds.get_10k_flame_params()
+    assert params.shape[0] == 8 and idx.shape[0] == 8
+    # Bad images never sampled.
+    bad = set(range(len(ds.images))) - set(ds.good_indices)
+    for _ in range(5):
+        assert not bad.intersection(next(it)["indices"].tolist())
+
+
+def test_sampler_round_trip():
+    cfg = _cfg()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    sampler = FlameSampler(
+        cfg, RES, state.g_ema_params, state.buffers, batch_size=4, eye_center=True
+    )
+    rng = np.random.default_rng(0)
+    flame = np.zeros((6, 236), np.float32)
+    flame[:, :100] = rng.standard_normal((6, 100)) * 0.2
+    flame[:, 156] = 8.0
+    flame[:, 209:212] = 3.0
+    idx = np.arange(6, dtype=np.int32)
+    images, conds = sampler.sample(flame, idx)
+    assert images.shape == (6, 32, 32, 3)
+    assert conds.shape == (6, 32, 32, cfg.cond_channels)
+    assert np.isfinite(images).all()

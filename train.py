@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Train GIF on TPU.
+
+The reference entry point re-created (reference train.py:306-403):
+
+    python train.py --run_id 0 --data /path/to/dataset.npz
+
+With no --data, a synthetic dataset is used (smoke runs / benchmarking).
+FID needs converted Inception weights (--inception_weights); without them
+training still runs, logging NaN FID like the reference's --debug mode.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description="GIF TPU training")
+    p.add_argument("--run_id", type=int, default=0, help="preset id: 0/3/7/8/29")
+    p.add_argument("--data", type=str, default=None, help="packed dataset .npz")
+    p.add_argument("--flame_resources", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default="runs")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--total_iters", type=int, default=3_000_000)
+    p.add_argument("--inception_weights", type=str, default=None,
+                   help="npz of converted InceptionV3 FID weights")
+    p.add_argument("--no_mesh", action="store_true", help="single device")
+    p.add_argument("--debug", action="store_true",
+                   help="tiny synthetic setup for smoke testing")
+    args = p.parse_args()
+
+    import jax
+    from jax.sharding import Mesh
+
+    from gif_tpu.train import get_config
+    from gif_tpu.train.loop import train
+    from gif_tpu.flame.resources import load_flame_resources, synthetic_flame_resources
+    from gif_tpu.data.pipeline import SyntheticFlameDataset, load_packed_dataset
+
+    if args.debug:
+        cfg = get_config(
+            args.run_id,
+            embedding_vocab_size=64,
+            max_size=32,
+            init_size=32,
+            render_image_size=32,
+            batch_size=min(args.batch_size, 8),
+        )
+        res = synthetic_flame_resources(seed=1, n_vertices=503)
+        dataset = SyntheticFlameDataset(n=64, size=32)
+    else:
+        res = load_flame_resources(args.flame_resources)
+        if args.data:
+            dataset = load_packed_dataset(args.data)
+        else:
+            print("WARNING: no --data given; training on synthetic images")
+            dataset = SyntheticFlameDataset(n=256, size=256)
+        cfg = get_config(
+            args.run_id,
+            batch_size=args.batch_size,
+            embedding_vocab_size=len(dataset),
+        )
+
+    fid_computer = None
+    if args.inception_weights and os.path.exists(args.inception_weights):
+        import jax.numpy as jnp
+        from gif_tpu.eval import FidComputer
+        from gif_tpu.tools.convert_inception import load_converted_params
+
+        params = load_converted_params(args.inception_weights)
+        fid_computer = FidComputer(
+            params, stats_dir=os.path.join(args.out_dir, "fid_stats")
+        )
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if not args.no_mesh and n_dev > 1:
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        print(f"data-parallel mesh over {n_dev} devices")
+
+    train(
+        cfg,
+        dataset,
+        res,
+        args.out_dir,
+        total_iters=args.total_iters,
+        mesh=mesh,
+        fid_computer=fid_computer,
+    )
+
+
+if __name__ == "__main__":
+    main()
