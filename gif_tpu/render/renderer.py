@@ -51,7 +51,7 @@ def render_tex_and_normal(
     image_size: int = 256,
     constant_albedo: float | None = None,
     tile: int = 32,
-    max_tris_per_tile: int = 512,
+    max_tris_per_tile: int = 384,
 ) -> RenderedMaps:
     """Render textured + normal-map conditioning images from FLAME codes.
 
@@ -82,7 +82,13 @@ def render_tex_and_normal(
     faces = np.asarray(res.faces)
     pix = to_pixel_space(trans, image_size, image_size)
     fv = face_vertices(pix, faces)
-    rast = rasterize(
+    # On TPU, use the Pallas kernel when the tile geometry allows it
+    # (~2x over the pure-XLA formulation); otherwise fall back.
+    if (tile * tile) % 128 == 0 and jax.default_backend() == "tpu":
+        from gif_tpu.render.raster_pallas import rasterize_pallas as _raster_fn
+    else:
+        _raster_fn = rasterize
+    rast = _raster_fn(
         fv, h=image_size, w=image_size, tile=tile, max_tris_per_tile=max_tris_per_tile
     )
 

@@ -219,3 +219,24 @@ def test_get_visibility():
     v = np.asarray(vis[0])
     # Roughly half the sphere should be visible, never all or none.
     assert 0.1 < v.mean() < 0.9
+
+
+def test_pallas_rasterizer_matches_xla(rng):
+    """The Pallas kernel (interpret mode on CPU) must match the XLA raster."""
+    from gif_tpu.render.raster_pallas import rasterize_pallas
+
+    h = w = 64
+    fv = _random_faces(rng, 60, h, w)
+    ref = rasterize(jnp.asarray(fv)[None], h=h, w=w, tile=16, max_tris_per_tile=64)
+    got = rasterize_pallas(
+        jnp.asarray(fv)[None], h=h, w=w, tile=16, max_tris_per_tile=64
+    )
+    np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(ref.tri_id))
+    hit = np.asarray(ref.tri_id[0]) >= 0
+    np.testing.assert_allclose(
+        np.asarray(got.depth[0])[hit], np.asarray(ref.depth[0])[hit], rtol=1e-5
+    )
+    # bary tolerates fp-association differences between the two formulations
+    np.testing.assert_allclose(
+        np.asarray(got.bary[0])[hit], np.asarray(ref.bary[0])[hit], rtol=5e-3, atol=5e-4
+    )
