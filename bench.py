@@ -51,15 +51,17 @@ def main():
     }
 
     key = jax.random.PRNGKey(1)
-    # Warmup / compile.
-    state, _ = step_fn(state, data, key)
-    jax.block_until_ready(state)
+    # Warmup / compile.  NOTE: completion is forced with a host readback of a
+    # scalar metric — jax.block_until_ready is a no-op on the experimental
+    # axon platform, so naive timing would measure dispatch only.
+    state, metrics = step_fn(state, data, key)
+    _ = float(metrics["d_loss"])
 
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, metrics = step_fn(state, data, jax.random.fold_in(key, i))
-    jax.block_until_ready(state)
+    _ = float(metrics["d_loss"])  # forces the whole dependent chain
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_iters / dt

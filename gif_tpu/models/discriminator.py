@@ -37,25 +37,29 @@ class Discriminator(nn.Module):
     channel_multiplier: int = 2
     stddev_group: int = 4
     stddev_feat: int = 1
+    dtype: jnp.dtype = jnp.float32  # compute dtype of the conv stack
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, condition: jnp.ndarray | None = None):
         """image: (B, S, S, 3); condition: (B, S, S, C_cond) or None.
 
-        Returns (B, 1) scores.
+        Returns (B, 1) scores (f32).
         """
         chans = discriminator_channels(self.channel_multiplier)
         x = image
         if condition is not None:
             x = jnp.concatenate([image, condition], axis=-1)
 
-        x = ConvLayer(chans[self.size], 1, name="from_rgb")(x)
+        x = ConvLayer(chans[self.size], 1, dtype=self.dtype, name="from_rgb")(x)
         log_size = int(math.log2(self.size))
         for i in range(log_size, 2, -1):
-            x = ResBlock(chans[2 ** (i - 1)], name=f"res{i}")(x)
+            x = ResBlock(chans[2 ** (i - 1)], dtype=self.dtype, name=f"res{i}")(x)
 
+        # Head runs f32 (stddev statistics + score head are tiny).
         x = ops.minibatch_stddev(
-            x, group_size=self.stddev_group, num_features=self.stddev_feat
+            x.astype(jnp.float32),
+            group_size=self.stddev_group,
+            num_features=self.stddev_feat,
         )
         x = ConvLayer(chans[4], 3, name="final_conv")(x)
         x = x.reshape(x.shape[0], -1)

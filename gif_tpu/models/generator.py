@@ -53,6 +53,7 @@ class SynthesisBlock(nn.Module):
     out_ch: int
     one_conv_block: bool = False
     apply_sqrt2: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, latent, cond):
@@ -61,11 +62,13 @@ class SynthesisBlock(nn.Module):
             3,
             upsample=not self.one_conv_block,
             apply_sqrt2=self.apply_sqrt2,
+            dtype=self.dtype,
             name="conv1",
         )(x, latent, cond)
         if not self.one_conv_block:
             x = StyledConv(
-                self.out_ch, 3, upsample=False, apply_sqrt2=self.apply_sqrt2, name="conv2"
+                self.out_ch, 3, upsample=False, apply_sqrt2=self.apply_sqrt2,
+                dtype=self.dtype, name="conv2"
             )(x, latent, cond)
         return x
 
@@ -74,6 +77,7 @@ class SynthesisNetwork(nn.Module):
     core_tensor_res: int = 4
     channel_multiplier: int = 2
     apply_sqrt2: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, latent, conds, step: int = 6):
@@ -94,10 +98,12 @@ class SynthesisNetwork(nn.Module):
                 chans[i],
                 one_conv_block=(i == start_step),
                 apply_sqrt2=self.apply_sqrt2,
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, latent, conds[i])
             skip = ToRGB(
-                upsample=(i > start_step), apply_sqrt2=self.apply_sqrt2, name=f"to_rgb{i}"
+                upsample=(i > start_step), apply_sqrt2=self.apply_sqrt2,
+                dtype=self.dtype, name=f"to_rgb{i}"
             )(x, latent, skip)
         return skip
 
@@ -116,6 +122,7 @@ class StyledGenerator(nn.Module):
     channel_multiplier: int = 2
     w_truncation_factor: float = 1.0
     apply_sqrt2: bool = False
+    dtype: jnp.dtype = jnp.float32  # compute dtype of the synthesis stack
 
     def setup(self):
         self.mapping = MappingNetwork(n_mlp=self.n_mlp, style_dim=512)
@@ -123,6 +130,7 @@ class StyledGenerator(nn.Module):
             core_tensor_res=self.core_tensor_res,
             channel_multiplier=self.channel_multiplier,
             apply_sqrt2=self.apply_sqrt2,
+            dtype=self.dtype,
         )
         # Frozen random identity codes — deliberately a non-trainable buffer
         # (reference ImgEmbedding, stg2_generator.py:34-46).

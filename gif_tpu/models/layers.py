@@ -91,6 +91,7 @@ class ModulatedConv2d(nn.Module):
     downsample: bool = False
     blur_taps: Sequence[int] = (1, 3, 3, 1)
     apply_sqrt2: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, latent):
@@ -98,11 +99,13 @@ class ModulatedConv2d(nn.Module):
         w = self.param(
             "weight", _randn(), (self.kernel_size, self.kernel_size, in_ch, self.out_ch)
         )
+        # Modulation styles and demodulation stay f32; the conv itself runs
+        # in ``dtype`` (bf16 on TPU hits the MXU at full rate).
         style = EqualLinear(
             in_ch, bias_init=1.0, apply_sqrt2=self.apply_sqrt2, name="modulation"
         )(latent)
         return ops.modulated_conv2d(
-            x,
+            x.astype(self.dtype),
             w,
             style,
             demodulate=self.demodulate,
@@ -119,16 +122,19 @@ class ConditionInjection(nn.Module):
     bias 1e-4)."""
 
     out_ch: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features, cond):
         c = cond.shape[-1]
+        cond = cond.astype(self.dtype)
         h = nn.Conv(
             2 * c,
             (3, 3),
             padding=1,
             kernel_init=_randn(0.01),
             bias_init=nn.initializers.constant(1e-4),
+            dtype=self.dtype,
             name="conv0",
         )(cond)
         h = nn.relu(h)
@@ -138,6 +144,7 @@ class ConditionInjection(nn.Module):
             padding=1,
             kernel_init=_randn(0.01),
             bias_init=nn.initializers.constant(1e-4),
+            dtype=self.dtype,
             name="conv1",
         )(h)
         h = nn.relu(h)
@@ -147,9 +154,10 @@ class ConditionInjection(nn.Module):
             padding=1,
             kernel_init=_randn(0.01),
             bias_init=nn.initializers.constant(1e-4),
+            dtype=self.dtype,
             name="conv2",
         )(h)
-        return features + h
+        return features + h.astype(features.dtype)
 
 
 class StyledConv(nn.Module):
@@ -161,6 +169,7 @@ class StyledConv(nn.Module):
     upsample: bool = False
     demodulate: bool = True
     apply_sqrt2: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, latent, cond):
@@ -170,11 +179,16 @@ class StyledConv(nn.Module):
             demodulate=self.demodulate,
             upsample=self.upsample,
             apply_sqrt2=self.apply_sqrt2,
+            dtype=self.dtype,
             name="conv",
         )(x, latent)
-        x = ConditionInjection(self.out_ch, name="noise")(x, cond)
+        x = ConditionInjection(self.out_ch, dtype=self.dtype, name="noise")(x, cond)
         bias = self.param("act_bias", nn.initializers.zeros, (self.out_ch,))
-        return ops.fused_leaky_relu(x, bias)
+        x = ops.fused_leaky_relu(x, bias)
+        if x.dtype != jnp.float32:
+            # StyleGAN2-ADA-style clamp keeps low-precision activations sane.
+            x = jnp.clip(x, -256.0, 256.0)
+        return x
 
 
 class ToRGB(nn.Module):
@@ -183,14 +197,17 @@ class ToRGB(nn.Module):
 
     upsample: bool = True
     apply_sqrt2: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, latent, skip=None):
         out = ModulatedConv2d(
-            3, 1, demodulate=False, apply_sqrt2=self.apply_sqrt2, name="conv"
+            3, 1, demodulate=False, apply_sqrt2=self.apply_sqrt2, dtype=self.dtype,
+            name="conv"
         )(x, latent)
         bias = self.param("bias", nn.initializers.zeros, (3,))
-        out = out + bias
+        # RGB skip accumulation stays f32 for quality.
+        out = out.astype(jnp.float32) + bias
         if skip is not None:
             skip = ops.upsample_2x(skip)
             out = out + skip
@@ -205,9 +222,11 @@ class ConvLayer(nn.Module):
     downsample: bool = False
     use_bias: bool = True
     activate: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         if self.downsample:
             p = (4 - 2) + (self.kernel_size - 1)
             x = ops.blur(x, pad=((p + 1) // 2, p // 2))
@@ -228,6 +247,8 @@ class ConvLayer(nn.Module):
                 x = ops.fused_leaky_relu(x, bias)
             else:
                 x = ops.scaled_leaky_relu(x)
+            if x.dtype != jnp.float32:
+                x = jnp.clip(x, -256.0, 256.0)
         return x
 
 
@@ -235,15 +256,18 @@ class ResBlock(nn.Module):
     """Two ConvLayers + 1x1 skip, /sqrt(2) (reference ResBlock, :802-820)."""
 
     out_ch: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        out = ConvLayer(x.shape[-1], 3, name="conv1")(x)
-        out = ConvLayer(self.out_ch, 3, downsample=True, name="conv2")(out)
+        out = ConvLayer(x.shape[-1], 3, dtype=self.dtype, name="conv1")(x)
+        out = ConvLayer(self.out_ch, 3, downsample=True, dtype=self.dtype,
+                        name="conv2")(out)
         skip = ConvLayer(
-            self.out_ch, 1, downsample=True, activate=False, use_bias=False, name="skip"
+            self.out_ch, 1, downsample=True, activate=False, use_bias=False,
+            dtype=self.dtype, name="skip"
         )(x)
-        return (out + skip) * (1.0 / jnp.sqrt(2.0))
+        return ((out + skip) * (1.0 / jnp.sqrt(2.0))).astype(self.dtype)
 
 
 class MappingNetwork(nn.Module):

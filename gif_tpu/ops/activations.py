@@ -27,8 +27,10 @@ def scaled_leaky_relu(x: jnp.ndarray, negative_slope: float = _NEG_SLOPE) -> jnp
 
 
 def _fused_xla(x, bias, negative_slope, scale):
-    y = x + bias.reshape((1,) * (x.ndim - 1) + (-1,))
-    return jax.nn.leaky_relu(y, negative_slope=negative_slope) * scale
+    y = x + bias.astype(x.dtype).reshape((1,) * (x.ndim - 1) + (-1,))
+    return jax.nn.leaky_relu(y, negative_slope=negative_slope) * jnp.asarray(
+        scale, x.dtype
+    )
 
 
 # ----------------------------------------------------------------------------
@@ -96,7 +98,7 @@ def _fused_pallas_fwd(x, bias, negative_slope, scale):
     kernel = functools.partial(
         _flr_fwd_kernel, negative_slope=negative_slope, scale=scale
     )
-    return _pallas_rows_call(kernel, x.dtype, x2, bias).reshape(shape)
+    return _pallas_rows_call(kernel, x.dtype, x2, bias.astype(x.dtype)).reshape(shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -132,12 +134,12 @@ def _flr_vjp_bwd(negative_slope, scale, use_pallas, res, g):
             _flr_bwd_kernel, negative_slope=negative_slope, scale=scale
         )
         dx = _pallas_rows_call(
-            kernel, x.dtype, x.reshape(-1, c), bias, g.reshape(-1, c)
+            kernel, x.dtype, x.reshape(-1, c), bias.astype(x.dtype), g.reshape(-1, c)
         ).reshape(x.shape)
     else:
-        y = x + bias.reshape((1,) * (x.ndim - 1) + (-1,))
-        dx = jnp.where(y >= 0, g * scale, g * (scale * negative_slope))
-    db = dx.sum(axis=tuple(range(x.ndim - 1)))
+        y = x + bias.astype(x.dtype).reshape((1,) * (x.ndim - 1) + (-1,))
+        dx = jnp.where(y >= 0, g * scale, g * (scale * negative_slope)).astype(x.dtype)
+    db = dx.sum(axis=tuple(range(x.ndim - 1))).astype(bias.dtype)
     return dx, db
 
 

@@ -24,6 +24,10 @@ class TrainConfig:
     apply_sqrt_in_eq_linear: bool = False
     channel_multiplier: int = 2
     use_posed_constant_input: bool = False
+    # Compute dtype of the G/D conv stacks ("bfloat16" | "float32").
+    # Params, mapping net, demodulation, RGB/skip accumulation, minibatch
+    # stddev, and all losses stay f32 (ADA-style mixed precision).
+    compute_dtype: str = "bfloat16"
 
     # --- image / batch ---
     init_size: int = 256

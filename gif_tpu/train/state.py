@@ -39,15 +39,17 @@ def make_optimizers(cfg: TrainConfig):
 
 
 def build_models(cfg: TrainConfig):
+    dtype = jnp.dtype(cfg.compute_dtype)
     gen = StyledGenerator(
         embedding_vocab_size=cfg.embedding_vocab_size,
         n_mlp=cfg.nmlp_for_z_to_w,
         core_tensor_res=cfg.core_tensor_res,
         channel_multiplier=cfg.channel_multiplier,
         apply_sqrt2=cfg.apply_sqrt_in_eq_linear,
+        dtype=dtype,
     )
     disc = Discriminator(
-        size=cfg.max_size, channel_multiplier=cfg.channel_multiplier
+        size=cfg.max_size, channel_multiplier=cfg.channel_multiplier, dtype=dtype
     )
     return gen, disc
 
