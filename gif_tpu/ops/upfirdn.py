@@ -151,8 +151,12 @@ def upfirdn2d(x, kernel, up: int = 1, down: int = 1, pad=(0, 0)):
 
 
 @functools.lru_cache(maxsize=None)
-def _cached_kernel(taps: tuple, gain: float) -> jnp.ndarray:
-    return make_resample_kernel(list(taps)) * gain
+def _cached_kernel(taps: tuple, gain: float) -> np.ndarray:
+    # Cached as host numpy: jnp arrays created inside a trace are tracers in
+    # recent JAX and must not leak across traces through this cache.
+    k = np.asarray(taps, dtype=np.float32)
+    k = np.outer(k, k)
+    return (k / k.sum()) * gain
 
 
 def upsample_2x(x, taps=(1, 3, 3, 1), factor: int = 2):
