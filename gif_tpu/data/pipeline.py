@@ -56,13 +56,19 @@ class FlameDataset:
         return self.images.shape[1]
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int):
-        """Uniform batch over good samples -> dict of host arrays."""
+        """Uniform batch over good samples -> dict of host arrays.
+
+        Gather + normalize + flip run through the native C++ loader when
+        built (gif_tpu.data.native), with a transparent numpy fallback."""
+        from gif_tpu.data.native import assemble_batch
+
         idx = rng.choice(self.good_indices, size=batch_size, replace=False)
-        imgs = self.images[idx].astype(np.float32) / 127.5 - 1.0
+        flip = (
+            (rng.random(batch_size) < 0.5) if self.horizontal_flip else None
+        )
+        imgs = assemble_batch(self.images, idx, flip)
         flame = self.flame_params[idx].copy()
-        if self.horizontal_flip:
-            flip = rng.random(batch_size) < 0.5
-            imgs[flip] = imgs[flip, :, ::-1]
+        if flip is not None:
             flame[flip] = 0.0
         return {
             "real_image": imgs,
