@@ -69,12 +69,11 @@ def train(
         state = ckpt.restore(state)
         print(f"restored checkpoint at step {int(state.step)}")
 
+    from gif_tpu.parallel import replicate, shard_batch
+
     step_fn = make_train_step(cfg, res, mesh=mesh)
     if mesh is not None:
-        state = jax.device_put(state, NamedSharding(mesh, P()))
-        data_sharding = NamedSharding(mesh, P("data"))
-    else:
-        data_sharding = None
+        state = replicate(state, mesh)
 
     it = data_iterator(dataset, cfg.batch_size, seed=cfg.run_id)
     rng_key = jax.random.PRNGKey(1234 + cfg.run_id)
@@ -85,10 +84,8 @@ def train(
     for i in range(start, total_iters):
         batch_np = next(it)
         dataset.accumulate_batches_of_flm(batch_np["flame"])
-        if data_sharding is not None:
-            batch = {
-                k: jax.device_put(v, data_sharding) for k, v in batch_np.items()
-            }
+        if mesh is not None:
+            batch = shard_batch(batch_np, mesh)
         else:
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 

@@ -36,7 +36,7 @@ void assemble_range(const Job& job, int64_t lo, int64_t hi) {
     const bool mirror = job.flip != nullptr && job.flip[b];
     if (!mirror) {
       for (int64_t i = 0; i < img; ++i) {
-        dst[i] = static_cast<float>(src[i]) * (1.0f / 127.5f) - 1.0f;
+        dst[i] = (static_cast<float>(src[i]) - 127.5f) / 127.5f;
       }
     } else {
       for (int64_t y = 0; y < job.h; ++y) {
@@ -46,7 +46,7 @@ void assemble_range(const Job& job, int64_t lo, int64_t hi) {
           const uint8_t* sp = srow + (job.w - 1 - x) * job.c;
           float* dp = drow + x * job.c;
           for (int64_t ch = 0; ch < job.c; ++ch) {
-            dp[ch] = static_cast<float>(sp[ch]) * (1.0f / 127.5f) - 1.0f;
+            dp[ch] = (static_cast<float>(sp[ch]) - 127.5f) / 127.5f;
           }
         }
       }
