@@ -43,7 +43,8 @@ class TrainConfig:
     r1_weight: float = 5.0  # losses.py:96
     n_critic: float = 1.0
 
-    # --- regularizers ---
+    # --- regularizers / D negatives ---
+    shfld_cond_as_neg_smpl: bool = False  # shuffled-condition negatives
     gen_reg_type: str = "none"  # none | path_len_reg | direct_grad_reg
     embedding_reg_weight: float = 0.0
     apply_texture_space_interpolation_loss: bool = True

@@ -69,6 +69,59 @@ def path_length_penalty(g_apply_z, z, pl_mean, decay: float = 0.01, rng=None):
     return penalty, new_mean
 
 
+def wgan_gp_loss(predictions: jnp.ndarray) -> jnp.ndarray:
+    """-(p - 0.001 p^2) (reference losses.py:81-84; unused by shipped
+    configs but part of the API surface)."""
+    return -(predictions - 0.001 * predictions**2)
+
+
+def derangement_indices(rng, n: int) -> jnp.ndarray:
+    """A fixed-point-free permutation of range(n) via a random cyclic shift
+    (reference get_unique_shuffle_indices, generic_utils.py:20-30 — used by
+    the shuffled-condition negative-sample path, train.py:161-167)."""
+    shift = jax.random.randint(rng, (), 1, n)
+    return (jnp.arange(n) + shift) % n
+
+
+def disentanglement_penalty(d_apply_flm, d_params, image, flame_params):
+    """Factor-wise gradient penalty on a multi-decision discriminator
+    (reference get_disentanglement_pen, losses.py:37-78).  The reference
+    version crashes on the undefined INDICES['CAM'] (SURVEY.md §2.2); this
+    is the working form for a discriminator emitting 5 decision columns
+    [real, shape-match, exp-match, pose-match, cam-match].
+
+    ``d_apply_flm(params, image, flame) -> (B, 5)``.
+    """
+    from gif_tpu import constants as c
+
+    sh = c.INDICES["SHAPE"]
+    ex = c.INDICES["EXP"]
+    po = c.INDICES["POSE"]
+    ca = c.INDICES["CAM"]
+
+    def col_grad(col):
+        g = jax.grad(
+            lambda f: d_apply_flm(d_params, image, f)[:, col].sum()
+        )(flame_params)
+        return g
+
+    def norm(g, lo=None, hi=None):
+        part = g if lo is None else g[:, lo:hi]
+        return jnp.linalg.norm(part.reshape(part.shape[0], -1), axis=1)
+
+    d_img = norm(col_grad(0))
+    d_shape = norm(col_grad(1), ex[0], 236)  # everything past shape
+    g2 = col_grad(2)
+    d_exp = norm(
+        jnp.concatenate([g2[:, sh[0] : sh[1]], g2[:, po[0] : ca[1]]], axis=1)
+    )
+    g3 = col_grad(3)
+    d_pose = norm(jnp.concatenate([g3[:, sh[0] : sh[1]], g3[:, ex[0] : ex[1]]], axis=1))
+    g4 = col_grad(4)
+    d_cam = norm(jnp.concatenate([g4[:, sh[0] : sh[1]], g4[:, ex[0] : ex[1]]], axis=1))
+    return 0.5 * (d_img + d_shape + d_exp + d_pose + d_cam)
+
+
 def l2_param_norm(params) -> jnp.ndarray:
     """Sum of parameter L2 norms (reference l2_reg, losses.py:16-20)."""
     return sum(

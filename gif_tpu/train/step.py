@@ -127,11 +127,21 @@ def make_train_step(
         fake_images = lax.stop_gradient(
             g_apply(state.g_params, state.buffers, cond, indices)
         )
+        if cfg.shfld_cond_as_neg_smpl:
+            # Shuffled conditions as extra negatives (train.py:161-167):
+            # the same fakes paired with deranged conditions must score low.
+            rng_shuf = jax.random.fold_in(rng_d, 1)
+            perm = L.derangement_indices(rng_shuf, cond.shape[0])
+            d_fake_images = jnp.concatenate([fake_images, fake_images], axis=0)
+            d_fake_cond = jnp.concatenate([cond, cond[perm]], axis=0)
+        else:
+            d_fake_images = fake_images
+            d_fake_cond = cond
         do_r1 = (state.step + 1) % cfg.r1_interval == 0
 
         def d_loss_fn(d_params):
             real_scores = d_apply(d_params, real, cond)
-            fake_scores = d_apply(d_params, fake_images, cond)
+            fake_scores = d_apply(d_params, d_fake_images, d_fake_cond)
             loss = L.d_ns_loss(real_scores, fake_scores)
             r1 = lax.cond(
                 do_r1,
@@ -151,15 +161,17 @@ def make_train_step(
         )
 
         # ------------------------------------------------------------------
-        # G update (train.py:180-250)
+        # G update (train.py:180-250); n_critic semantics per train.py:
+        # 181-193 — fractional values train G int(1/n) times per D step,
+        # integer values > 1 train G only every n-th step.
         # ------------------------------------------------------------------
-        def g_loss_fn(g_params):
+        def g_loss_fn(g_params, pl_mean_in, rng_pl, rng_interp):
             fake = g_apply(g_params, state.buffers, cond, indices)
             scores = d_apply(d_params, fake, cond)
             loss = L.g_ns_loss(scores)
             aux = {"g_adv": loss}
 
-            pl_mean = state.pl_mean
+            pl_mean = pl_mean_in
             if cfg.gen_reg_type.lower() == "path_len_reg":
                 z = jax.random.normal(rng_pl, (real.shape[0], 512))
 
@@ -172,7 +184,7 @@ def make_train_step(
                     )
 
                 ppl, pl_mean = L.path_length_penalty(
-                    gen_from_z, z, state.pl_mean, rng=rng_pl
+                    gen_from_z, z, pl_mean_in, rng=rng_pl
                 )
                 loss = loss + 2.0 * ppl
                 aux["ppl"] = ppl
@@ -230,21 +242,61 @@ def make_train_step(
             aux["pl_mean"] = pl_mean
             return loss, aux
 
-        (g_total, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
-        if mesh is not None:
-            g_grads = lax.pmean(g_grads, "data")
-        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
-        g_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.g_params, g_updates
-        )
+        def g_update(g_params, g_opt_state, ema, pl_mean_in, rng_i):
+            rng_pl_i, rng_int_i = jax.random.split(rng_i)
+            (g_total, g_aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(g_params, pl_mean_in, rng_pl_i, rng_int_i)
+            if mesh is not None:
+                g_grads = lax.pmean(g_grads, "data")
+            g_updates, g_opt_state = g_tx.update(g_grads, g_opt_state, g_params)
+            g_params = jax.tree_util.tree_map(lambda p, u: p + u, g_params, g_updates)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * cfg.ema_decay + p * (1.0 - cfg.ema_decay),
+                ema,
+                g_params,
+            )
+            return g_params, g_opt_state, ema, g_aux["pl_mean"], g_total, g_aux
 
-        ema = jax.tree_util.tree_map(
-            lambda e, p: e * cfg.ema_decay + p * (1.0 - cfg.ema_decay),
+        nc = cfg.n_critic
+        if nc >= 1:
+            g_interval, g_iters = int(round(nc)), 1
+        else:
+            g_interval, g_iters = 1, int(round(1.0 / nc))
+
+        zero_aux = {"g_adv": jnp.float32(0.0), "pl_mean": state.pl_mean}
+        if cfg.gen_reg_type.lower() == "path_len_reg":
+            zero_aux["ppl"] = jnp.float32(0.0)
+        if cfg.apply_texture_space_interpolation_loss:
+            zero_aux["interp"] = jnp.float32(0.0)
+
+        carry = (
+            state.g_params,
+            state.g_opt_state,
             state.g_ema_params,
-            g_params,
+            state.pl_mean,
         )
+        if g_interval == 1:
+            g_total = jnp.float32(0.0)
+            g_aux = zero_aux
+            for it in range(g_iters):
+                *carry, g_total, g_aux = g_update(
+                    *carry, jax.random.fold_in(rng_g, it)
+                )
+                carry = tuple(carry)
+        else:
+            do_g = (state.step + 1) % g_interval == 0
+
+            def run(c):
+                *c2, gt, ga = g_update(*c, rng_g)
+                return tuple(c2), gt, ga
+
+            def skip(c):
+                return c, jnp.float32(0.0), zero_aux
+
+            carry, g_total, g_aux = lax.cond(do_g, run, skip, carry)
+
+        g_params, g_opt_state, ema, pl_mean = carry
 
         new_state = state.replace(
             step=state.step + 1,
@@ -253,7 +305,7 @@ def make_train_step(
             g_ema_params=ema,
             g_opt_state=g_opt_state,
             d_opt_state=d_opt_state,
-            pl_mean=g_aux["pl_mean"],
+            pl_mean=pl_mean,
             used_samples=state.used_samples
             + real.shape[0] * (1 if mesh is None else mesh.devices.size),
         )

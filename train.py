@@ -74,6 +74,32 @@ def main():
             params, stats_dir=os.path.join(args.out_dir, "fid_stats")
         )
 
+    # Architecture graph dumps at startup (reference train.py:339-342,
+    # 354-355 draws G/D graphs via graph_writer).
+    try:
+        import jax.numpy as jnp
+        from gif_tpu.train.state import build_models
+        from gif_tpu.utils.graph import draw
+
+        gen, disc = build_models(cfg)
+        size = cfg.max_size
+        os.makedirs(args.out_dir, exist_ok=True)
+        draw(
+            gen,
+            os.path.join(args.out_dir, f"generator_run{args.run_id}.txt"),
+            jnp.zeros((1, size, size, cfg.cond_channels)),
+            input_indices=jnp.zeros((1,), jnp.int32),
+            step=cfg.max_step,
+        )
+        draw(
+            disc,
+            os.path.join(args.out_dir, f"discriminator_run{args.run_id}.txt"),
+            jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, size, size, cfg.cond_channels)),
+        )
+    except Exception as e:  # non-fatal, like the reference's viz
+        print(f"graph dump skipped: {e}")
+
     n_dev = len(jax.devices())
     mesh = None
     if not args.no_mesh and n_dev > 1:
