@@ -322,7 +322,8 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(_step)
+        # Donate the old state: params/opt buffers are dead after the update.
+        return jax.jit(_step, donate_argnums=(0,))
 
     state_spec = P()
     batch_spec = {k: P("data") for k in ["real_image", "flame", "indices", "cond"]}
@@ -337,4 +338,4 @@ def make_train_step(
             check_vma=False,
         )(state, batch, rng)
 
-    return jax.jit(wrapped)
+    return jax.jit(wrapped, donate_argnums=(0,))
