@@ -34,7 +34,7 @@ def main():
     res = synthetic_flame_resources()
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step_fn = make_train_step(cfg, res, max_tris_per_tile=512)
+    step_fn = make_train_step(cfg, res, max_tris_per_tile=512, donate=True)
 
     rng = np.random.default_rng(0)
     flame = np.zeros((batch, 236), np.float32)

@@ -71,7 +71,7 @@ def train(
 
     from gif_tpu.parallel import replicate, shard_batch
 
-    step_fn = make_train_step(cfg, res, mesh=mesh)
+    step_fn = make_train_step(cfg, res, mesh=mesh, donate=True)
     if mesh is not None:
         state = replicate(state, mesh)
 

@@ -76,6 +76,7 @@ def make_train_step(
     step_res: Optional[int] = None,
     face_region_mask: Optional[np.ndarray] = None,
     max_tris_per_tile: int = 512,
+    donate: bool = False,
 ):
     """Build the jitted train step.
 
@@ -321,9 +322,12 @@ def make_train_step(
             metrics = lax.pmean(metrics, "data")
         return new_state, metrics
 
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
     if mesh is None:
-        # Donate the old state: params/opt buffers are dead after the update.
-        return jax.jit(_step, donate_argnums=(0,))
+        # With donate=True the old state buffers are reused (training loops
+        # never touch the previous state); keep False when the caller needs
+        # the old state after the call (tests, analysis).
+        return jax.jit(_step, **donate_kw)
 
     state_spec = P()
     batch_spec = {k: P("data") for k in ["real_image", "flame", "indices", "cond"]}
@@ -338,4 +342,4 @@ def make_train_step(
             check_vma=False,
         )(state, batch, rng)
 
-    return jax.jit(wrapped, donate_argnums=(0,))
+    return jax.jit(wrapped, **donate_kw)
