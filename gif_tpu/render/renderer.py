@@ -82,24 +82,32 @@ def render_tex_and_normal(
     faces = np.asarray(res.faces)
     pix = to_pixel_space(trans, image_size, image_size)
     fv = face_vertices(pix, faces)
-    # On TPU, use the Pallas kernel when the tile geometry allows it
-    # (~2x over the pure-XLA formulation); otherwise fall back.
-    if (tile * tile) % 128 == 0 and jax.default_backend() == "tpu":
-        from gif_tpu.render.raster_pallas import rasterize_pallas as _raster_fn
-    else:
-        _raster_fn = rasterize
-    rast = _raster_fn(
-        fv, h=image_size, w=image_size, tile=tile, max_tris_per_tile=max_tris_per_tile
-    )
 
     # --- attributes: normals (of the projected mesh) and UV ---
     normals = vertex_normals(trans, faces)  # (B, V, 3)
     face_norm = face_vertices(normals, faces)  # (B, F, 3, 3)
     uv = jnp.asarray(res.uv_coords, verts.dtype)  # (V, 2)
     face_uv = jnp.broadcast_to(uv[faces][None], (b,) + uv[faces].shape)  # (B,F,3,2)
-
     attrs = jnp.concatenate([face_norm, face_uv], axis=-1)  # (B, F, 3, 5)
-    interp = interpolate_face_attributes(rast.tri_id, rast.bary, attrs)
+
+    # On TPU with 128-aligned tiles use the Pallas kernel with fused
+    # attribute interpolation (kills the dominant per-pixel gathers);
+    # otherwise the XLA raster + gather-based interpolation.
+    if (tile * tile) % 128 == 0 and jax.default_backend() == "tpu":
+        from gif_tpu.render.raster_pallas import rasterize_pallas_with_attrs
+
+        rast, interp = rasterize_pallas_with_attrs(
+            fv, attrs, image_size, image_size, tile, max_tris_per_tile
+        )
+    else:
+        rast = rasterize(
+            fv,
+            h=image_size,
+            w=image_size,
+            tile=tile,
+            max_tris_per_tile=max_tris_per_tile,
+        )
+        interp = interpolate_face_attributes(rast.tri_id, rast.bary, attrs)
     pix_norm = interp[..., :3]
     pix_uv = interp[..., 3:5]
     pix_norm = pix_norm / jnp.maximum(

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 _PI = np.pi
 
@@ -89,6 +90,13 @@ def grid_sample_bilinear(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """torch.nn.functional.grid_sample semantics (bilinear, zeros padding,
     align_corners=False) on NHWC images.
 
+    TPU-first formulation: ONE gather of 2x2xC patches per pixel instead of
+    four independent scalar-tap gathers (profiling showed four ~9 ms gather
+    fusions per step at 256px, batch 16 — this collapses them to one).  The
+    patch anchor is the clamped floor coordinate; each tap selects its value
+    from the patch by its (row, col) offset relative to the anchor, with
+    out-of-bounds taps zero-masked — exactly the zeros-padding semantics.
+
     Args:
       img: (B, H, W, C).
       grid: (B, Ho, Wo, 2) sampling locations in [-1, 1], (x, y) order.
@@ -102,29 +110,61 @@ def grid_sample_bilinear(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
-    dx = gx - x0
-    dy = gy - y0
+    dx = (gx - x0)[..., None]
+    dy = (gy - y0)[..., None]
 
-    def tap(xi, yi):
-        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+    x0c = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
 
-        def gather_one(im, yy, xx):
-            return im[yy, xx]
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
 
-        val = jax.vmap(gather_one)(img, yc, xc)  # (B, Ho, Wo, C)
-        return val * inb[..., None].astype(img.dtype)
+    def gather_patches(im, ys, xs):  # (H, W, C), (P,), (P,) -> (P, 2, 2, C)
+        starts = jnp.stack([ys, xs], axis=-1)
+        return lax.gather(
+            im,
+            starts,
+            dnums,
+            slice_sizes=(2, 2, c),
+            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
 
-    v00 = tap(x0, y0)
-    v01 = tap(x0 + 1, y0)
-    v10 = tap(x0, y0 + 1)
-    v11 = tap(x0 + 1, y0 + 1)
-    dxe = dx[..., None]
-    dye = dy[..., None]
+    ho, wo = grid.shape[1], grid.shape[2]
+    patches = jax.vmap(gather_patches)(
+        img, y0c.reshape(b, -1), x0c.reshape(b, -1)
+    ).reshape(b, ho, wo, 2, 2, c)
+
+    # Tap (i, j) sits at patch position (y0 + i - y0c, x0 + j - x0c); the
+    # position is inside {0, 1} exactly when the tap is in bounds.
+    dxi = (x0 - x0c).astype(jnp.int32)  # in {-1, 0, 1}
+    dyi = (y0 - y0c).astype(jnp.int32)
+
+    def tap(i, j):
+        r = dyi + i
+        col = dxi + j
+        valid = ((r == 0) | (r == 1)) & ((col == 0) | (col == 1))
+        r2 = jnp.clip(r, 0, 1)
+        c2 = jnp.clip(col, 0, 1)
+        # Select among the 4 patch corners without a gather.
+        p00 = patches[..., 0, 0, :]
+        p01 = patches[..., 0, 1, :]
+        p10 = patches[..., 1, 0, :]
+        p11 = patches[..., 1, 1, :]
+        top = jnp.where((c2 == 0)[..., None], p00, p01)
+        bot = jnp.where((c2 == 0)[..., None], p10, p11)
+        val = jnp.where((r2 == 0)[..., None], top, bot)
+        return val * valid[..., None].astype(img.dtype)
+
+    v00 = tap(0, 0)
+    v01 = tap(0, 1)
+    v10 = tap(1, 0)
+    v11 = tap(1, 1)
     return (
-        v00 * (1 - dxe) * (1 - dye)
-        + v01 * dxe * (1 - dye)
-        + v10 * (1 - dxe) * dye
-        + v11 * dxe * dye
+        v00 * (1 - dx) * (1 - dy)
+        + v01 * dx * (1 - dy)
+        + v10 * (1 - dx) * dy
+        + v11 * dx * dy
     )

@@ -240,3 +240,47 @@ def test_pallas_rasterizer_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(got.bary[0])[hit], np.asarray(ref.bary[0])[hit], rtol=5e-3, atol=5e-4
     )
+
+
+def test_pallas_fused_attrs_match_interpolation(rng):
+    """Fused attr output must equal rasterize + interpolate_face_attributes."""
+    from gif_tpu.render.raster_pallas import (
+        rasterize_pallas_with_attrs,
+        rasterize_pallas,
+    )
+
+    h = w = 64
+    fv = _random_faces(rng, 60, h, w)
+    attrs = rng.standard_normal((1, 60, 3, 5)).astype(np.float32)
+    rast, attr_img = rasterize_pallas_with_attrs(
+        jnp.asarray(fv)[None], jnp.asarray(attrs), h, w, 16, 64
+    )
+    ref = interpolate_face_attributes(rast.tri_id, rast.bary, jnp.asarray(attrs))
+    np.testing.assert_allclose(
+        np.asarray(attr_img), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+    # And the raster outputs match the plain kernel.
+    plain = rasterize_pallas(jnp.asarray(fv)[None], h=h, w=w, tile=16,
+                             max_tris_per_tile=64)
+    np.testing.assert_array_equal(np.asarray(rast.tri_id), np.asarray(plain.tri_id))
+
+
+def test_pallas_fused_attrs_grad(rng):
+    from gif_tpu.render.raster_pallas import rasterize_pallas_with_attrs
+
+    h = w = 32
+    fv = jnp.asarray(_random_faces(rng, 20, h, w))[None]
+    attrs = jnp.asarray(rng.standard_normal((1, 20, 3, 4)).astype(np.float32))
+
+    def loss(a):
+        _, img = rasterize_pallas_with_attrs(fv, a, h, w, 16, 64)
+        return jnp.sum(img**2)
+
+    def loss_ref(a):
+        out = rasterize(fv, h=h, w=w, tile=16, max_tris_per_tile=64)
+        img = interpolate_face_attributes(out.tri_id, out.bary, a)
+        return jnp.sum(img**2)
+
+    g = jax.grad(loss)(attrs)
+    g_ref = jax.grad(loss_ref)(attrs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
