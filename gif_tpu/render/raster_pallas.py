@@ -138,8 +138,11 @@ def _raster_group_kernel(
             bestz_ref[0, tl] = jnp.where(better, zmin, bestz_ref[0, tl])
             bestu_ref[0, tl] = jnp.where(better, u_sel, bestu_ref[0, tl])
             bestv_ref[0, tl] = jnp.where(better, v_sel, bestv_ref[0, tl])
+            # Winner's GLOBAL face id, selected in-register (saves a 1M-row
+            # take_along_axis outside the kernel).
+            gid = jnp.sum(col(blk, 10) * onehot, axis=0)
             bestk_ref[0, tl] = jnp.where(
-                better, jnp.minimum(kmin, _BIG_K - 1), bestk_ref[0, tl]
+                better, gid.astype(jnp.int32), bestk_ref[0, tl]
             )
 
             if n_attrs:
@@ -204,7 +207,8 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
         [
             gathered,
             valid[..., None].astype(jnp.float32),
-            jnp.zeros((b, n_tiles, k, 6), jnp.float32),
+            ids[..., None].astype(jnp.float32),  # col 10: global face id
+            jnp.zeros((b, n_tiles, k, 5), jnp.float32),
         ],
         axis=-1,
     )
@@ -276,8 +280,7 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     bestv = bestv.reshape(b, n_tiles, p)
 
     hit = bestz < BIG_DEPTH
-    tri = jnp.take_along_axis(ids, bestk, axis=2)
-    tri = jnp.where(hit, tri, -1).astype(jnp.int32)
+    tri = jnp.where(hit, bestk, -1).astype(jnp.int32)
     w0 = 1.0 - bestu - bestv
     bary = jnp.stack([w0, bestv, bestu], axis=-1)
     bary = jnp.where(hit[..., None], bary, 0.0)

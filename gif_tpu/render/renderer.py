@@ -120,9 +120,15 @@ def render_tex_and_normal(
     else:
         r = res.tex_mean.shape[0]
         albedo_map = jnp.full((b, r, r, 3), float(constant_albedo), verts.dtype)
-    # UV in [0,1] -> grid in [-1,1]
+    # UV in [0,1] -> grid in [-1,1].  The texture gather runs in bf16 on TPU
+    # (albedo is 8-bit-quantized data; halves the dominant gather's traffic).
     grid = pix_uv * 2.0 - 1.0
-    albedo = grid_sample_bilinear(albedo_map, grid)
+    if jax.default_backend() == "tpu":
+        albedo = grid_sample_bilinear(
+            albedo_map.astype(jnp.bfloat16), grid
+        ).astype(verts.dtype)
+    else:
+        albedo = grid_sample_bilinear(albedo_map, grid)
 
     shading = sh9_shading(pix_norm, lightcode)
     textured = albedo * shading
