@@ -32,7 +32,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -41,7 +40,6 @@ from gif_tpu.render.raster import (
     BIG_DEPTH,
     RasterOutput,
     _bin_triangles,
-    interpolate_face_attributes,
 )
 
 _CHUNK = 64  # candidates processed per loop iteration (sublane dim)

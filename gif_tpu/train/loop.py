@@ -112,7 +112,12 @@ def train(
                 batch_size=min(cfg.batch_size, 16), eye_center=False,
             )
             images, _ = sampler.sample(flame_10k, idx_10k)
-            fid = fid_computer.get_fid(images)
+            # Real stats: cached per resolution (compute_fid.py:26-46); first
+            # call computes them from the dataset's real frames.
+            real01 = (
+                np.asarray(dataset.images[:fid_n_samples], np.float32) / 255.0
+            )
+            fid = fid_computer.get_fid(images, real_images01=real01)
             if viz.flame_params is None:
                 viz.set_flame_params(flame_10k[:50], idx_10k[:50])
             viz.save_samples(
