@@ -33,11 +33,28 @@ class FlameSampler:
         batch_size: int = 16,
         eye_center: bool = True,
         max_tris_per_tile: int = 512,
+        w_truncation_factor: float = 1.0,
     ):
         self.cfg = cfg
         self.res = res
         self.batch_size = batch_size
         gen, _ = build_models(cfg)
+        if abs(w_truncation_factor - 1.0) > 0.01:
+            # Rebuild with truncation and precompute the mean latent over the
+            # identity table (reference stg2_generator.py:278-283).
+            from gif_tpu.train.state import build_models as _bm
+            import dataclasses as _dc
+
+            gen = type(gen)(
+                **{**{f.name: getattr(gen, f.name) for f in _dc.fields(gen)},
+                   "w_truncation_factor": w_truncation_factor}
+            )
+            mean_w = gen.apply(
+                {"params": g_params, "buffers": buffers},
+                method=lambda m: m.mean_latent(),
+            )
+        else:
+            mean_w = None
 
         def _sample(g_params, buffers, flame, indices):
             if eye_center:
@@ -48,6 +65,7 @@ class FlameSampler:
                 cond,
                 input_indices=indices,
                 step=cfg.max_step,
+                mean_w=mean_w,
             ), cond
 
         self._fn = jax.jit(_sample)
