@@ -284,3 +284,33 @@ def test_pallas_fused_attrs_grad(rng):
     g = jax.grad(loss)(attrs)
     g_ref = jax.grad(loss_ref)(attrs)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_sample_at_points_forward_matches_grid_sample(rng):
+    from gif_tpu.render.sampling_ops import sample_at_points
+
+    img = jnp.asarray(rng.standard_normal((2, 9, 11, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 40, 2)).astype(np.float32))
+    got = sample_at_points(img, pts)
+    ref = grid_sample_bilinear(img, pts[:, :, None, :])[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_sample_at_points_grad_matches_autodiff(rng):
+    """The sort/cumsum/searchsorted backward must equal the plain autodiff
+    gradient of the same sampling math."""
+    from gif_tpu.render.sampling_ops import sample_at_points, _sample_fwd_impl
+
+    img = jnp.asarray(rng.standard_normal((2, 7, 8, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1.1, 1.1, (2, 25, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((2, 25, 3)).astype(np.float32))
+
+    def loss(im):
+        return jnp.sum(sample_at_points(im, pts) * cot)
+
+    def loss_ref(im):
+        return jnp.sum(_sample_fwd_impl(im, pts) * cot)
+
+    g = jax.grad(loss)(img)
+    g_ref = jax.grad(loss_ref)(img)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
