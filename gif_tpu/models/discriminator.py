@@ -18,8 +18,10 @@ from gif_tpu.models.layers import ConvLayer, ResBlock, EqualLinear
 from gif_tpu import ops
 
 
-def discriminator_channels(channel_multiplier: int = 2) -> dict:
-    return {
+def discriminator_channels(
+    channel_multiplier: int = 2, max_channels: int = 512
+) -> dict:
+    chans = {
         4: 512,
         8: 512,
         16: 512,
@@ -30,11 +32,13 @@ def discriminator_channels(channel_multiplier: int = 2) -> dict:
         512: 32 * channel_multiplier,
         1024: 16 * channel_multiplier,
     }
+    return {k: min(v, max_channels) for k, v in chans.items()}
 
 
 class Discriminator(nn.Module):
     size: int = 256
     channel_multiplier: int = 2
+    max_channels: int = 512  # cap on the channel map (512 = reference parity)
     stddev_group: int = 4
     stddev_feat: int = 1
     dtype: jnp.dtype = jnp.float32  # compute dtype of the conv stack
@@ -45,7 +49,7 @@ class Discriminator(nn.Module):
 
         Returns (B, 1) scores (f32).
         """
-        chans = discriminator_channels(self.channel_multiplier)
+        chans = discriminator_channels(self.channel_multiplier, self.max_channels)
         x = image
         if condition is not None:
             x = jnp.concatenate([image, condition], axis=-1)

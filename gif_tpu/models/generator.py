@@ -31,9 +31,18 @@ from gif_tpu.models.layers import StyledConv, ToRGB, MappingNetwork
 from gif_tpu.utils.image import resize_bilinear
 
 
-def synthesis_channels(channel_multiplier: int = 2) -> list[int]:
-    """Per-block output channels (reference stg2_generator.py:86-114)."""
-    return [
+def synthesis_channels(
+    channel_multiplier: int = 2, max_channels: int = 512
+) -> list[int]:
+    """Per-block output channels (reference stg2_generator.py:86-114).
+
+    ``max_channels`` caps every block (512 = reference parity).  Tiny caps
+    exist for fast CPU tests and the driver's virtual-mesh dryrun: XLA:CPU
+    executes the per-sample modulated-conv gradients through a naive serial
+    path whose cost scales with C_in*C_out, so 512-channel blocks take
+    minutes per step on host even at 32px.
+    """
+    chans = [
         512,
         512,
         512,
@@ -44,6 +53,7 @@ def synthesis_channels(channel_multiplier: int = 2) -> list[int]:
         32 * channel_multiplier,
         16 * channel_multiplier,
     ]
+    return [min(c, max_channels) for c in chans]
 
 
 class SynthesisBlock(nn.Module):
@@ -76,6 +86,7 @@ class SynthesisBlock(nn.Module):
 class SynthesisNetwork(nn.Module):
     core_tensor_res: int = 4
     channel_multiplier: int = 2
+    max_channels: int = 512
     apply_sqrt2: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -83,12 +94,12 @@ class SynthesisNetwork(nn.Module):
     def __call__(self, latent, conds, step: int = 6):
         """latent: (B, 512); conds: list of per-scale condition maps
         (B, 4*2^i, 4*2^i, C) for i in 0..step.  Returns (B, H, H, 3)."""
-        chans = synthesis_channels(self.channel_multiplier)
+        chans = synthesis_channels(self.channel_multiplier, self.max_channels)
         batch = latent.shape[0]
         const = self.param(
             "const_input",
             lambda key, shape: jax.random.normal(key, shape),
-            (1, self.core_tensor_res, self.core_tensor_res, 512),
+            (1, self.core_tensor_res, self.core_tensor_res, min(512, self.max_channels)),
         )
         start_step = int(np.log2(self.core_tensor_res)) - 2
         x = jnp.tile(const, (batch, 1, 1, 1))
@@ -120,6 +131,7 @@ class StyledGenerator(nn.Module):
     n_mlp: int = 8
     core_tensor_res: int = 4
     channel_multiplier: int = 2
+    max_channels: int = 512
     w_truncation_factor: float = 1.0
     apply_sqrt2: bool = False
     dtype: jnp.dtype = jnp.float32  # compute dtype of the synthesis stack
@@ -129,6 +141,7 @@ class StyledGenerator(nn.Module):
         self.synthesis = SynthesisNetwork(
             core_tensor_res=self.core_tensor_res,
             channel_multiplier=self.channel_multiplier,
+            max_channels=self.max_channels,
             apply_sqrt2=self.apply_sqrt2,
             dtype=self.dtype,
         )

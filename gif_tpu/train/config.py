@@ -23,7 +23,14 @@ class TrainConfig:
     nmlp_for_z_to_w: int = 8
     apply_sqrt_in_eq_linear: bool = False
     channel_multiplier: int = 2
-    use_posed_constant_input: bool = False
+    # Cap on conv channels (512 = reference parity; small values for fast
+    # CPU tests / the virtual-mesh dryrun).  NB the reference's
+    # ``use_posed_constant_input`` flag is NOT carried here: its
+    # ConstantInput.forward ignores the pose argument entirely
+    # (stg2_generator.py:21-31 — ``forward(input)`` returns the learned
+    # constant), so the flag is behaviorally inert in the reference and all
+    # shipped configs set it False (configurations.py:42,83,124,164,204).
+    max_channels: int = 512
     # Compute dtype of the G/D conv stacks ("bfloat16" | "float32").
     # Params, mapping net, demodulation, RGB/skip accumulation, minibatch
     # stddev, and all losses stay f32 (ADA-style mixed precision).

@@ -213,6 +213,12 @@ def texture_interpolation_loss(
     # builds pairs over max_num = batch-1 and samples max_num of them).
     import numpy as np
 
+    if n < 2:
+        raise ValueError(
+            "texture_interpolation_loss needs >= 2 interpolated samples "
+            f"(= per-shard batch >= 3), got n={n}; raise the per-device "
+            "batch size or disable apply_texture_space_interpolation_loss"
+        )
     pairs = np.array([(i, j) for i in range(n) for j in range(i + 1, n)])
     n_pick = min(n, len(pairs))
     sel = jax.random.choice(rng_pairs, len(pairs), (n_pick,), replace=False)

@@ -45,11 +45,15 @@ def build_models(cfg: TrainConfig):
         n_mlp=cfg.nmlp_for_z_to_w,
         core_tensor_res=cfg.core_tensor_res,
         channel_multiplier=cfg.channel_multiplier,
+        max_channels=cfg.max_channels,
         apply_sqrt2=cfg.apply_sqrt_in_eq_linear,
         dtype=dtype,
     )
     disc = Discriminator(
-        size=cfg.max_size, channel_multiplier=cfg.channel_multiplier, dtype=dtype
+        size=cfg.max_size,
+        channel_multiplier=cfg.channel_multiplier,
+        max_channels=cfg.max_channels,
+        dtype=dtype,
     )
     return gen, disc
 

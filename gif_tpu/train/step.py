@@ -44,7 +44,14 @@ def render_condition_maps(
     (prepare_lmdb/create_deca_rendered_lmdb.py): same OverLayViz
     floor-quantization onto the 8-bit grid, then the dataset's
     (x - 0.5)/0.5 normalization (dataset_loaders.py / torchvision transform).
+
+    When ``render_image_size != max_size`` the maps are rendered at the
+    render resolution and bilinearly resized to the training resolution
+    before quantization — the reference's render-at-512, train-at-256 path
+    (losses.py:215-216, create_deca_rendered_lmdb.py render->resize->PNG).
     """
+    from gif_tpu.utils.image import resize_bilinear
+
     b = flame_params.shape[0]
     maps = render_tex_and_normal(
         res,
@@ -59,8 +66,12 @@ def render_condition_maps(
         image_size=cfg.render_image_size,
         max_tris_per_tile=max_tris_per_tile,
     )
-    rend = jnp.floor(jnp.clip(maps.textured, 0.0, 1.0) * 255.0) / 255.0
-    norm = jnp.floor(jnp.clip(maps.normal, 0.0, 1.0) * 255.0) / 255.0
+    textured, normal = maps.textured, maps.normal
+    if cfg.render_image_size != cfg.max_size:
+        textured = resize_bilinear(textured, cfg.max_size, cfg.max_size)
+        normal = resize_bilinear(normal, cfg.max_size, cfg.max_size)
+    rend = jnp.floor(jnp.clip(textured, 0.0, 1.0) * 255.0) / 255.0
+    norm = jnp.floor(jnp.clip(normal, 0.0, 1.0) * 255.0) / 255.0
     parts = []
     if cfg.rendered_flame_as_condition:
         parts.append(rend * 2.0 - 1.0)
