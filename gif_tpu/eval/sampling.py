@@ -38,17 +38,10 @@ class FlameSampler:
         self.cfg = cfg
         self.res = res
         self.batch_size = batch_size
-        gen, _ = build_models(cfg)
+        gen, _ = build_models(cfg, w_truncation_factor=w_truncation_factor)
         if abs(w_truncation_factor - 1.0) > 0.01:
-            # Rebuild with truncation and precompute the mean latent over the
-            # identity table (reference stg2_generator.py:278-283).
-            from gif_tpu.train.state import build_models as _bm
-            import dataclasses as _dc
-
-            gen = type(gen)(
-                **{**{f.name: getattr(gen, f.name) for f in _dc.fields(gen)},
-                   "w_truncation_factor": w_truncation_factor}
-            )
+            # Precompute the mean latent over the identity table
+            # (reference stg2_generator.py:278-283).
             mean_w = gen.apply(
                 {"params": g_params, "buffers": buffers},
                 method=lambda m: m.mean_latent(),

@@ -91,11 +91,43 @@ class SynthesisNetwork(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, latent, conds, step: int = 6):
-        """latent: (B, 512); conds: list of per-scale condition maps
-        (B, 4*2^i, 4*2^i, C) for i in 0..step.  Returns (B, H, H, 3)."""
+    def __call__(
+        self,
+        latent,
+        conds,
+        step: int = 6,
+        inject_index: Optional[Sequence[int]] = None,
+        mixing_range: tuple = (-1, -1),
+    ):
+        """latent: (B, 512) or a sequence of them (style mixing); conds:
+        list of per-scale condition maps (B, 4*2^i, 4*2^i, C) for i in
+        0..step.  Returns (B, H, H, 3).
+
+        Style mixing follows reference stg2_generator.py:166-190: with
+        ``mixing_range == (-1, -1)`` a crossover walk over ``inject_index``
+        switches to the next style once the block index passes each
+        injection point; otherwise blocks inside ``[mixing_range[0],
+        mixing_range[1]]`` use style 1 and all others style 0.  Both
+        controls are static (python ints) — the reference samples
+        ``inject_index`` with python ``random`` outside the graph too.
+        """
+        styles = list(latent) if isinstance(latent, (list, tuple)) else [latent]
+        if len(styles) < 2:
+            inject_index = [step + 2]  # never crosses (reference :167)
+        elif mixing_range == (-1, -1):
+            if inject_index is None:
+                raise ValueError(
+                    "multiple styles need inject_index (static crossover "
+                    "block ids) or an explicit mixing_range"
+                )
+            inject_index = list(inject_index)
+            if len(inject_index) != len(styles) - 1:
+                raise ValueError(
+                    f"{len(styles)} styles need {len(styles) - 1} injection "
+                    f"points, got {len(inject_index)}"
+                )
         chans = synthesis_channels(self.channel_multiplier, self.max_channels)
-        batch = latent.shape[0]
+        batch = styles[0].shape[0]
         const = self.param(
             "const_input",
             lambda key, shape: jax.random.normal(key, shape),
@@ -104,18 +136,27 @@ class SynthesisNetwork(nn.Module):
         start_step = int(np.log2(self.core_tensor_res)) - 2
         x = jnp.tile(const, (batch, 1, 1, 1))
         skip = None
+        crossover = 0
         for i in range(start_step, step + 1):
+            # Per-block style selection (reference :176-190).
+            if mixing_range == (-1, -1):
+                if crossover < len(inject_index) and i > inject_index[crossover]:
+                    crossover = min(crossover + 1, len(styles) - 1)
+                style_i = styles[crossover]
+            else:
+                in_range = mixing_range[0] <= i <= mixing_range[1]
+                style_i = styles[1 if in_range and len(styles) > 1 else 0]
             x = SynthesisBlock(
                 chans[i],
                 one_conv_block=(i == start_step),
                 apply_sqrt2=self.apply_sqrt2,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, latent, conds[i])
+            )(x, style_i, conds[i])
             skip = ToRGB(
                 upsample=(i > start_step), apply_sqrt2=self.apply_sqrt2,
                 dtype=self.dtype, name=f"to_rgb{i}"
-            )(x, latent, skip)
+            )(x, style_i, skip)
         return skip
 
 
@@ -165,6 +206,8 @@ class StyledGenerator(nn.Module):
         z: Optional[jnp.ndarray] = None,
         step: int = 6,
         mean_w: Optional[jnp.ndarray] = None,
+        inject_index: Optional[Sequence[int]] = None,
+        mixing_range: tuple = (-1, -1),
     ) -> jnp.ndarray:
         """Generate images.
 
@@ -174,17 +217,25 @@ class StyledGenerator(nn.Module):
           input_indices: (B,) int32 identity indices into the frozen
             embedding; mutually exclusive with ``z``.
           z: (B, 512) latent fed straight to the mapping net (the
-            reference's float-indices path, stg2_generator.py:272-273).
+            reference's float-indices path, stg2_generator.py:272-273), or
+            a sequence of latents for style mixing (stg2_generator.py:
+            166-190; the reference's multi-style list input).
           step: static; images come out at 4 * 2**step.
           mean_w: (512,) mean latent for w-truncation
             (stg2_generator.py:278-283); required if w_truncation_factor
             deviates from 1.
+          inject_index: static crossover block ids for style mixing (one
+            per extra style); the reference samples these with python
+            ``random`` (stg2_generator.py:169).
+          mixing_range: static (lo, hi); blocks in [lo, hi] use style 1,
+            the rest style 0 (stg2_generator.py:186-190).
 
         Returns:
           (B, 4*2**step, 4*2**step, 3) images.
         """
         if z is not None:
-            w = self.mapping(z)
+            zs = list(z) if isinstance(z, (list, tuple)) else [z]
+            ws = [self.mapping(zz) for zz in zs]
         else:
             if input_indices is None:
                 input_indices = jnp.zeros((cond.shape[0],), jnp.int32)
@@ -197,11 +248,18 @@ class StyledGenerator(nn.Module):
                         "compute it with StyledGenerator.mean_latent()."
                     )
                 w = w + (mean_w - w) * (1.0 - self.w_truncation_factor)
+            ws = [w]
 
         conds = [
             resize_bilinear(cond, 4 * 2**i, 4 * 2**i) for i in range(step + 1)
         ]
-        return self.synthesis(w, conds, step=step)
+        return self.synthesis(
+            ws if len(ws) > 1 else ws[0],
+            conds,
+            step=step,
+            inject_index=inject_index,
+            mixing_range=mixing_range,
+        )
 
     def mean_latent(self) -> jnp.ndarray:
         """Mean w over the whole identity-embedding table

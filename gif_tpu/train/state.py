@@ -38,7 +38,7 @@ def make_optimizers(cfg: TrainConfig):
     return g_tx, d_tx
 
 
-def build_models(cfg: TrainConfig):
+def build_models(cfg: TrainConfig, w_truncation_factor: float = 1.0):
     dtype = jnp.dtype(cfg.compute_dtype)
     gen = StyledGenerator(
         embedding_vocab_size=cfg.embedding_vocab_size,
@@ -46,6 +46,7 @@ def build_models(cfg: TrainConfig):
         core_tensor_res=cfg.core_tensor_res,
         channel_multiplier=cfg.channel_multiplier,
         max_channels=cfg.max_channels,
+        w_truncation_factor=w_truncation_factor,
         apply_sqrt2=cfg.apply_sqrt_in_eq_linear,
         dtype=dtype,
     )

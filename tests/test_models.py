@@ -169,3 +169,50 @@ def test_generator_grad_flows():
     g = jax.grad(loss)(vars_["params"])
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_style_mixing_crossover_and_range():
+    """Style mixing per stg2_generator.py:166-190: blocks up to the
+    injection point track style 0, later blocks style 1; mixing_range
+    overrides with an explicit block window."""
+    gen = StyledGenerator(embedding_vocab_size=4, max_channels=64, n_mlp=2)
+    step = 3
+    cond = jnp.ones((2, 32, 32, 6)) * 0.1
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    z1 = jax.random.normal(jax.random.PRNGKey(2), (2, 512))
+    vars_ = gen.init(jax.random.PRNGKey(0), cond, z=z0, step=step)
+
+    out0 = gen.apply(vars_, cond, z=z0, step=step)
+    out1 = gen.apply(vars_, cond, z=z1, step=step)
+
+    # Crossover beyond the last block: pure style 0.
+    mixed_hi = gen.apply(vars_, cond, z=[z0, z1], step=step, inject_index=(step,))
+    np.testing.assert_allclose(np.asarray(mixed_hi), np.asarray(out0), atol=1e-5)
+
+    # Crossover before the first block: pure style 1.
+    mixed_lo = gen.apply(vars_, cond, z=[z0, z1], step=step, inject_index=(-1,))
+    np.testing.assert_allclose(np.asarray(mixed_lo), np.asarray(out1), atol=1e-5)
+
+    # A mid crossover differs from both pure outputs.
+    mixed_mid = gen.apply(vars_, cond, z=[z0, z1], step=step, inject_index=(1,))
+    assert np.abs(np.asarray(mixed_mid) - np.asarray(out0)).max() > 1e-4
+    assert np.abs(np.asarray(mixed_mid) - np.asarray(out1)).max() > 1e-4
+
+    # mixing_range covering every block: pure style 1; empty range: style 0.
+    ranged = gen.apply(vars_, cond, z=[z0, z1], step=step, mixing_range=(0, step))
+    np.testing.assert_allclose(np.asarray(ranged), np.asarray(out1), atol=1e-5)
+    ranged0 = gen.apply(
+        vars_, cond, z=[z0, z1], step=step, mixing_range=(step + 1, step + 2)
+    )
+    np.testing.assert_allclose(np.asarray(ranged0), np.asarray(out0), atol=1e-5)
+
+
+def test_style_mixing_requires_inject_index():
+    gen = StyledGenerator(embedding_vocab_size=4, max_channels=32, n_mlp=2)
+    cond = jnp.zeros((1, 16, 16, 6))
+    z0 = jnp.zeros((1, 512))
+    vars_ = gen.init(jax.random.PRNGKey(0), cond, z=z0, step=2)
+    import pytest
+
+    with pytest.raises(ValueError, match="inject_index"):
+        gen.apply(vars_, cond, z=[z0, z0], step=2)
