@@ -1,0 +1,249 @@
+"""End-to-end FID-Inception parity: torch reference vs flax port, in-env.
+
+torchvision is not installed here, so the reference network
+(my_utils/pytorch_fid/inception.py:14-199 — torchvision Inception v3 stem +
+FIDInceptionA/C/E_1/E_2 patches) is reconstructed below as plain torch
+modules from its architectural spec: BasicConv2d = conv(bias=False) +
+BatchNorm(eps=1e-3, eval) + relu, with the FID deviations — blocks A/C/E_1
+average-pool with count_include_pad=False, block E_2 max-pools its pool
+branch.  Random weights flow through ``convert_torch_inception`` and the
+pool3 features must agree, which pins conv layouts, BN folding, pad
+semantics, and the pool variants all at once.
+
+Also checks the preprocessing path against fid_score.py:126-139 +
+inception.py:147-154: [0,1] input, bilinear resize to 299 with
+align_corners=False, then 2x-1.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from gif_tpu.eval.inception import (
+    InceptionV3FID,
+    convert_torch_inception,
+    preprocess_for_fid,
+)
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, in_ch, out_ch, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(out_ch, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class FIDInceptionA(nn.Module):
+    def __init__(self, in_ch, pool_features):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch5x5_1 = BasicConv2d(in_ch, 48, kernel_size=1)
+        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = BasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = BasicConv2d(in_ch, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        # FID patch (reference inception.py:218-221): TF avg pool excludes pad.
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class InceptionB(nn.Module):
+    def __init__(self, in_ch):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(in_ch, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = BasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, 3, stride=2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class FIDInceptionC(nn.Module):
+    def __init__(self, in_ch, c7):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(in_ch, 192, kernel_size=1)
+        self.branch7x7_1 = BasicConv2d(in_ch, c7, kernel_size=1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = BasicConv2d(in_ch, c7, kernel_size=1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = BasicConv2d(in_ch, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_1(x)
+        bd = self.branch7x7dbl_5(
+            self.branch7x7dbl_4(self.branch7x7dbl_3(self.branch7x7dbl_2(bd)))
+        )
+        # FID patch (reference inception.py:244-247).
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class InceptionD(nn.Module):
+    def __init__(self, in_ch):
+        super().__init__()
+        self.branch3x3_1 = BasicConv2d(in_ch, 192, kernel_size=1)
+        self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = BasicConv2d(in_ch, 192, kernel_size=1)
+        self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(
+            self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x)))
+        )
+        bp = F.max_pool2d(x, 3, stride=2)
+        return torch.cat([b3, b7, bp], 1)
+
+
+class FIDInceptionE(nn.Module):
+    """pool_mode='avg' -> FIDInceptionE_1 (inception.py:258-284);
+    'max' -> FIDInceptionE_2 (inception.py:287-314)."""
+
+    def __init__(self, in_ch, pool_mode):
+        super().__init__()
+        self.pool_mode = pool_mode
+        self.branch1x1 = BasicConv2d(in_ch, 320, kernel_size=1)
+        self.branch3x3_1 = BasicConv2d(in_ch, 384, kernel_size=1)
+        self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = BasicConv2d(in_ch, 448, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = BasicConv2d(in_ch, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        if self.pool_mode == "max":
+            bp = F.max_pool2d(x, 3, stride=1, padding=1)
+        else:
+            bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class TorchFIDInception(nn.Module):
+    """Pool3 extractor mirroring the reference block list
+    (inception.py:86-124) on top of the FID-patched mixed blocks."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = FIDInceptionA(192, 32)
+        self.Mixed_5c = FIDInceptionA(256, 64)
+        self.Mixed_5d = FIDInceptionA(288, 64)
+        self.Mixed_6a = InceptionB(288)
+        self.Mixed_6b = FIDInceptionC(768, 128)
+        self.Mixed_6c = FIDInceptionC(768, 160)
+        self.Mixed_6d = FIDInceptionC(768, 160)
+        self.Mixed_6e = FIDInceptionC(768, 192)
+        self.Mixed_7a = InceptionD(768)
+        self.Mixed_7b = FIDInceptionE(1280, "avg")
+        self.Mixed_7c = FIDInceptionE(2048, "max")
+
+    def forward(self, x):
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Mixed_5b(x)
+        x = self.Mixed_5c(x)
+        x = self.Mixed_5d(x)
+        x = self.Mixed_6a(x)
+        x = self.Mixed_6b(x)
+        x = self.Mixed_6c(x)
+        x = self.Mixed_6d(x)
+        x = self.Mixed_6e(x)
+        x = self.Mixed_7a(x)
+        x = self.Mixed_7b(x)
+        x = self.Mixed_7c(x)
+        return F.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+
+
+def _randomize(model: nn.Module, seed: int = 0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.Conv2d):
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g) * 0.05)
+            elif isinstance(m, nn.BatchNorm2d):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+    torch_net = TorchFIDInception().eval()
+    _randomize(torch_net)
+    sd = {k: v.detach().numpy() for k, v in torch_net.state_dict().items()}
+    params = convert_torch_inception(sd)
+
+    rng = np.random.default_rng(0)
+    x01 = rng.uniform(0.0, 1.0, (2, 299, 299, 3)).astype(np.float32)
+    x_pm1 = x01 * 2.0 - 1.0
+
+    with torch.no_grad():
+        ref = torch_net(torch.from_numpy(x_pm1.transpose(0, 3, 1, 2))).numpy()
+
+    net = InceptionV3FID(fid_variant=True)
+    got = np.asarray(
+        jax.jit(lambda p, x: net.apply({"params": p}, x))(params, jnp.asarray(x_pm1))
+    )
+    assert got.shape == ref.shape == (2, 2048)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_fid_preprocess_matches_torch_resize():
+    """fid resize path: bilinear to 299 with align_corners=False, then 2x-1
+    (reference inception.py:147-154)."""
+    rng = np.random.default_rng(1)
+    x01 = rng.uniform(0.0, 1.0, (2, 256, 256, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = F.interpolate(
+            torch.from_numpy(x01.transpose(0, 3, 1, 2)),
+            size=(299, 299),
+            mode="bilinear",
+            align_corners=False,
+        ).numpy()
+        ref = 2.0 * ref - 1.0
+    got = np.asarray(preprocess_for_fid(jnp.asarray(x01))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
