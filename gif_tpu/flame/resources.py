@@ -50,6 +50,10 @@ class FlameResources:
       texture_x_coords / texture_y_coords / texture_valid_pixel_ids /
       texture_valid_faces (P, 3) / texture_valid_bary (P, 3):
         the FlameTextureSpace precompute (reference stg2_generator.py:348-353).
+      face_region_mask: (tex_res, tex_res) float32 in [0, 1] — the
+        texture-space face-only mask multiplied into the texture
+        interpolation loss (reference losses.py:132-134 loads
+        texture_map_256X256_face_only_mask.png, constants.py:48).
     """
 
     v_template: np.ndarray
@@ -69,6 +73,7 @@ class FlameResources:
     texture_valid_pixel_ids: np.ndarray
     texture_valid_faces: np.ndarray
     texture_valid_bary: np.ndarray
+    face_region_mask: np.ndarray | None = None  # None -> treated as all-ones
     parents: np.ndarray = dataclasses.field(default_factory=lambda: PARENTS.copy())
     is_synthetic: bool = False
 
@@ -177,6 +182,13 @@ def synthetic_flame_resources(seed: int = 0, n_vertices: int = N_VERTICES) -> Fl
         np.float32
     )
 
+    # Texture-space face-region mask: a soft ellipse covering the central
+    # face area of the UV map (stand-in for the reference's
+    # texture_map_256X256_face_only_mask.png, constants.py:48).
+    eyy = (yy - 0.45) / 0.35
+    exx = (xx - 0.5) / 0.30
+    face_region_mask = (eyy**2 + exx**2 <= 1.0).astype(np.float32)
+
     # FlameTextureSpace precompute: valid texels mapped to (face, bary).
     n_valid = 20000
     vx = rng.integers(0, TEX_RES, size=n_valid).astype(np.int64)
@@ -204,6 +216,7 @@ def synthetic_flame_resources(seed: int = 0, n_vertices: int = N_VERTICES) -> Fl
         texture_valid_pixel_ids=pix_ids,
         texture_valid_faces=valid_faces,
         texture_valid_bary=valid_bary,
+        face_region_mask=face_region_mask,
         is_synthetic=True,
     )
 
@@ -212,7 +225,10 @@ _FIELDS = [f.name for f in dataclasses.fields(FlameResources) if f.name != "is_s
 
 
 def save_flame_resources(res: FlameResources, path: str) -> None:
-    np.savez_compressed(path, **{k: getattr(res, k) for k in _FIELDS})
+    np.savez_compressed(
+        path,
+        **{k: getattr(res, k) for k in _FIELDS if getattr(res, k) is not None},
+    )
 
 
 def load_flame_resources(path: str | None = None, allow_synthetic: bool = True) -> FlameResources:

@@ -7,6 +7,9 @@ constants.py:63-79):
   landmark_embedding.npy   static+dynamic landmark embedding
   texture_data_256.npy     FlameTextureSpace precompute
   head_template_mesh.obj   template with UV coordinates
+  texture_map_256X256_face_only_mask.png  face-region mask for the texture
+                           interpolation loss (reference constants.py:48,
+                           losses.py:132-134); optional
 
 Output: one ``.npz`` loadable by gif_tpu.flame.resources.load_flame_resources.
 
@@ -34,7 +37,26 @@ def _to_np(x):
     return np.asarray(x, np.float32)
 
 
-def convert(flame_pkl, texture_npz, lmk_file, texdata_file, obj_file, out_path):
+def load_face_region_mask(path) -> np.ndarray:
+    """Face-region mask PNG -> (H, W) float32 in [0, 1]: first channel
+    scaled by 255 (reference losses.py:132-134)."""
+    from PIL import Image
+
+    mask = np.array(Image.open(path))
+    if mask.ndim == 3:
+        mask = mask[:, :, 0]
+    return mask.astype(np.float32) / 255.0
+
+
+def convert(
+    flame_pkl,
+    texture_npz,
+    lmk_file,
+    texdata_file,
+    obj_file,
+    out_path,
+    face_mask_file=None,
+):
     from gif_tpu.flame.resources import FlameResources, save_flame_resources
     from gif_tpu.flame.mesh import load_obj
 
@@ -96,6 +118,9 @@ def convert(flame_pkl, texture_npz, lmk_file, texdata_file, obj_file, out_path):
         raise ValueError("template OBJ carries no UV coordinates")
     res_kwargs["uv_coords"] = np.asarray(uvs, np.float32)[: len(res_kwargs["v_template"])]
 
+    if face_mask_file is not None:
+        res_kwargs["face_region_mask"] = load_face_region_mask(face_mask_file)
+
     res = FlameResources(**res_kwargs)
     save_flame_resources(res, out_path)
     return out_path
@@ -108,9 +133,12 @@ def main():  # pragma: no cover
     p.add_argument("--lmk", required=True)
     p.add_argument("--texdata", required=True)
     p.add_argument("--obj", required=True)
+    p.add_argument("--face_mask", default=None,
+                   help="texture_map_256X256_face_only_mask.png")
     p.add_argument("--out", required=True)
     a = p.parse_args()
-    print(convert(a.flame, a.texture, a.lmk, a.texdata, a.obj, a.out))
+    print(convert(a.flame, a.texture, a.lmk, a.texdata, a.obj, a.out,
+                  face_mask_file=a.face_mask))
 
 
 if __name__ == "__main__":

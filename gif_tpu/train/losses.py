@@ -207,6 +207,16 @@ def texture_interpolation_loss(
 
     if face_region_mask is None:
         face_region_mask = jnp.ones(textures.shape[1:3], textures.dtype)
+    if face_region_mask.shape != textures.shape[1:3]:
+        # Reference resizes the mask to the texture resolution on the fly
+        # (losses.py:150-153 fast_image_reshape).
+        from gif_tpu.utils.image import resize_bilinear
+
+        face_region_mask = resize_bilinear(
+            face_region_mask[None, :, :, None],
+            textures.shape[1],
+            textures.shape[2],
+        )[0, :, :, 0]
     mask2d = face_region_mask[None, :, :, None]
 
     # All (i, j) pairs over n samples; pick n random ones (losses.py:140-176

@@ -103,6 +103,10 @@ def make_train_step(
     gen, disc = build_models(cfg)
     g_tx, d_tx = make_optimizers(cfg)
     step_idx = cfg.max_step if step_res is None else step_res
+    if face_region_mask is None:
+        # Texture-space face-only mask shipped with the FLAME resources
+        # (reference losses.py:132-134, constants.py:48).
+        face_region_mask = getattr(res, "face_region_mask", None)
     frm = (
         jnp.asarray(face_region_mask, jnp.float32)
         if face_region_mask is not None

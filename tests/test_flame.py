@@ -157,3 +157,79 @@ def test_decode_jit_and_grad():
     )
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
+
+
+def test_synthetic_face_region_mask_nontrivial_and_roundtrips(tmp_path):
+    """The resources carry a texture-space face mask (reference
+    constants.py:48) that is neither all-ones nor all-zeros and survives
+    the save/load cycle."""
+    from gif_tpu.flame.resources import (
+        synthetic_flame_resources,
+        save_flame_resources,
+        load_flame_resources,
+    )
+
+    res = synthetic_flame_resources(seed=3, n_vertices=203)
+    m = res.face_region_mask
+    assert m is not None and m.shape == res.tex_mean.shape[:2]
+    assert 0.05 < m.mean() < 0.95  # a real region, not a degenerate mask
+
+    path = str(tmp_path / "res.npz")
+    save_flame_resources(res, path)
+    loaded = load_flame_resources(path)
+    np.testing.assert_array_equal(loaded.face_region_mask, m)
+
+
+def test_interp_loss_face_mask_changes_value():
+    """The face-region mask must actually gate the texture-interp loss
+    (reference losses.py:170-176); with a fake generator the masked and
+    unmasked losses differ."""
+    import jax
+    import jax.numpy as jnp
+    from gif_tpu.flame.resources import synthetic_flame_resources
+    from gif_tpu.train.losses import texture_interpolation_loss
+
+    res = synthetic_flame_resources(seed=3, n_vertices=203)
+    rng = np.random.default_rng(0)
+    flame = np.zeros((3, 236), np.float32)
+    flame[:, :100] = rng.standard_normal((3, 100)) * 0.1
+    flame[:, 156] = 8.0
+    flame[:, 209:212] = 3.0
+
+    def fake_gen(cond, idx):
+        # Images correlated with the condition maps, per-sample shifted so
+        # textures differ across the batch.
+        return jnp.tanh(cond[..., :3]) + 0.1 * idx[:, None, None, None]
+
+    common = dict(
+        image_size=64,
+        max_tris_per_tile=128,
+    )
+    key = jax.random.PRNGKey(0)
+    unmasked = float(
+        texture_interpolation_loss(
+            res, jnp.asarray(flame), fake_gen, key,
+            face_region_mask=jnp.ones(res.tex_mean.shape[:2]), **common,
+        )
+    )
+    masked = float(
+        texture_interpolation_loss(
+            res, jnp.asarray(flame), fake_gen, key,
+            face_region_mask=jnp.asarray(res.face_region_mask), **common,
+        )
+    )
+    assert np.isfinite(masked) and np.isfinite(unmasked)
+    assert abs(masked - unmasked) > 1e-4
+
+
+def test_load_face_region_mask_png(tmp_path):
+    from PIL import Image
+    from gif_tpu.tools.convert_flame import load_face_region_mask
+
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[2:6, 2:6] = 255
+    p = str(tmp_path / "mask.png")
+    Image.fromarray(arr).save(p)
+    m = load_face_region_mask(p)
+    assert m.shape == (8, 8) and m.dtype == np.float32
+    assert m[3, 3] == 1.0 and m[0, 0] == 0.0

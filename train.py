@@ -47,6 +47,12 @@ def main():
             init_size=32,
             render_image_size=32,
             batch_size=min(args.batch_size, 8),
+            # Capped channels + short mapping: XLA:CPU executes per-sample
+            # modulated-conv grads serially, so the full 512-ch model takes
+            # minutes/step on host; smoke runs must stay interactive.
+            max_channels=32,
+            nmlp_for_z_to_w=2,
+            compute_dtype="float32",
         )
         res = synthetic_flame_resources(seed=1, n_vertices=503)
         dataset = SyntheticFlameDataset(n=64, size=32)
