@@ -10,10 +10,16 @@ is present.
 
 Reference behaviors preserved:
 - bad DECA fits are skipped by resampling (dataset_loaders.py:243-246);
-- optional horizontal flip zeroes the FLAME label (the fit no longer matches
-  the mirrored image, dataset_loaders.py:322-327);
+- optional horizontal flip marks the FLAME label with the -9999 sentinel
+  (the fit no longer matches the mirrored image; loud if consumed —
+  dataset_loaders.py:322-327);
+- optional random same-pad crop zeroes the label and shifts the image
+  (dataset_loaders.py:314-320); the true params travel as ``flame_render``
+  plus per-row ``flip``/``crop`` keys so the train step can render the
+  condition maps from the true fit and apply the SAME pixel transform the
+  image received (the reference cropped/flipped its pre-rendered LMDB maps);
 - a rolling 10k-parameter accumulator feeds the FID conditioning protocol
-  (dataset_loaders.py:200-223).
+  (dataset_loaders.py:200-223), skipping sentinel-marked rows.
 """
 
 from __future__ import annotations
@@ -34,11 +40,15 @@ class FlameDataset:
         flame_params: np.ndarray,
         bad_images: Optional[np.ndarray] = None,
         horizontal_flip: bool = False,
+        random_crop: bool = False,
+        crop_max_in_px: int = 10,
     ):
         assert len(images) == len(flame_params)
         self.images = images
         self.flame_params = np.asarray(flame_params, np.float32)
         self.horizontal_flip = horizontal_flip
+        self.random_crop = random_crop
+        self.crop_max_in_px = crop_max_in_px
         n = len(images)
         good = np.ones(n, bool)
         if bad_images is not None and len(bad_images):
@@ -61,6 +71,7 @@ class FlameDataset:
         Gather + normalize + flip run through the native C++ loader when
         built (gif_tpu.data.native), with a transparent numpy fallback."""
         from gif_tpu.data.native import assemble_batch
+        from gif_tpu.data.augment import same_padding_crop, FLIPPED_LABEL_SENTINEL
 
         idx = rng.choice(self.good_indices, size=batch_size, replace=False)
         flip = (
@@ -68,18 +79,43 @@ class FlameDataset:
         )
         imgs = assemble_batch(self.images, idx, flip)
         flame = self.flame_params[idx].copy()
-        if flip is not None:
-            flame[flip] = 0.0
-        return {
+        batch = {
             "real_image": imgs,
             "flame": flame,
             "indices": idx.astype(np.int32),
         }
+        if self.random_crop or flip is not None:
+            # The true fit still renders the condition maps; the step applies
+            # the same pixel transform to them that the image received.
+            batch["flame_render"] = flame.copy()
+        if self.random_crop:
+            # dataset_loaders.py:314-320: zero the label, shift image with
+            # edge replication.  imgs is normalized float NHWC here.
+            crops = rng.integers(
+                -self.crop_max_in_px, self.crop_max_in_px, size=(batch_size, 2)
+            ).astype(np.int32)
+            for b in range(batch_size):
+                imgs[b] = same_padding_crop(imgs[b], int(crops[b, 0]), int(crops[b, 1]))
+            flame[:] = 0.0
+            batch["crop"] = crops
+        if flip is not None:
+            # dataset_loaders.py:322-327: sentinel so downstream FLAME use is
+            # loudly wrong rather than plausibly wrong.
+            flame[flip] = FLIPPED_LABEL_SENTINEL
+            batch["flip"] = flip
+        return batch
 
     # --- FID conditioning accumulator (dataset_loaders.py:200-223) ---
 
     def accumulate_batches_of_flm(self, flame_batch: np.ndarray) -> None:
-        self._flm_buffer.append(np.asarray(flame_batch))
+        flame_batch = np.asarray(flame_batch)
+        # Skip flip-sentinel / crop-zeroed rows: they are not valid fits and
+        # must not condition the FID protocol.
+        valid = (flame_batch[:, 0] > -9000) & (np.abs(flame_batch).sum(1) > 0)
+        flame_batch = flame_batch[valid]
+        if not len(flame_batch):
+            return
+        self._flm_buffer.append(flame_batch)
         self._flm_count += len(flame_batch)
         while self._flm_count - len(self._flm_buffer[0]) >= 10_000:
             self._flm_count -= len(self._flm_buffer[0])

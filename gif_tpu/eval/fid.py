@@ -77,13 +77,20 @@ class FidComputer:
         )
 
     def activations(self, images01: np.ndarray) -> np.ndarray:
-        """Pool3 activations for (N, H, W, 3) images in [0, 1], batched
-        (compute_fid.py:48-76 uses batches of 32)."""
+        """Pool3 activations for (N, H, W, 3) images, batched
+        (compute_fid.py:48-76 uses batches of 32).
+
+        Accepts float arrays in [0, 1] or uint8 in [0, 255]; uint8 input
+        (e.g. a mem-mapped 50k real-image store) is scaled per chunk so the
+        full set never materializes in float32."""
         outs = []
         n = len(images01)
         bs = self.batch_size
         for i in range(0, n, bs):
-            chunk = np.asarray(images01[i : i + bs], np.float32)
+            chunk = images01[i : i + bs]
+            if chunk.dtype == np.uint8:
+                chunk = np.asarray(chunk, np.float32) / 255.0
+            chunk = np.asarray(chunk, np.float32)
             pad = 0
             if len(chunk) < bs:  # pad to keep one compiled shape
                 pad = bs - len(chunk)

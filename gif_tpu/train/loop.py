@@ -54,9 +54,19 @@ def train(
     resume: bool = True,
     log_every: int = 50,
     fid_n_samples: int = 10_000,
+    fid_real_samples: int = 50_000,
 ):
     """Run training.  ``out_dir`` gets checkpoint/{run_id}, sample/{run_id},
     metrics.csv."""
+    if cfg.apply_texture_space_interpolation_loss and (
+        getattr(dataset, "horizontal_flip", False)
+        or getattr(dataset, "random_crop", False)
+    ):
+        raise ValueError(
+            "flip/crop augmentation invalidates the FLAME labels "
+            "(dataset_loaders.py:314-327) that the texture-interpolation "
+            "loss consumes; disable the augmentation or the loss"
+        )
     run_dir = os.path.join(out_dir, str(cfg.run_id))
     ckpt = CheckpointManager(
         os.path.join(run_dir, "checkpoint"), save_every=cfg.checkpoint_every
@@ -112,12 +122,14 @@ def train(
                 batch_size=min(cfg.batch_size, 16), eye_center=False,
             )
             images, _ = sampler.sample(flame_10k, idx_10k)
-            # Real stats: cached per resolution (compute_fid.py:26-46); first
-            # call computes them from the dataset's real frames.
-            real01 = (
-                np.asarray(dataset.images[:fid_n_samples], np.float32) / 255.0
+            # Real stats: cached per resolution (compute_fid.py:26-46); on a
+            # cache miss they come from up to 50k real frames like the
+            # reference protocol (compute_fid.py:42).  The uint8 frames are
+            # passed as-is (mem-mapped) and scaled per batch inside the
+            # Inception sweep, so the 50k pass never materializes in f32.
+            fid = fid_computer.get_fid(
+                images, real_images01=dataset.images[:fid_real_samples]
             )
-            fid = fid_computer.get_fid(images, real_images01=real01)
             if viz.flame_params is None:
                 viz.set_flame_params(flame_10k[:50], idx_10k[:50])
             viz.save_samples(

@@ -133,7 +133,22 @@ def make_train_step(
         flame = batch["flame"]
         indices = batch["indices"]
         if cfg.render_in_step:
-            cond = render_condition_maps(res, flame, cfg, max_tris_per_tile)
+            # Augmented batches carry the true fit separately: the label may
+            # be crop-zeroed / flip-sentineled (dataset_loaders.py:314-327)
+            # but the condition maps render from the real parameters and then
+            # receive the SAME pixel transform the image got (the reference
+            # transformed its pre-rendered LMDB maps).
+            cond = render_condition_maps(
+                res, batch.get("flame_render", flame), cfg, max_tris_per_tile
+            )
+            if "crop" in batch:
+                from gif_tpu.data.augment import same_padding_crop_jax
+
+                cond = same_padding_crop_jax(cond, batch["crop"])
+            if "flip" in batch:
+                cond = jnp.where(
+                    batch["flip"][:, None, None, None], cond[:, :, ::-1, :], cond
+                )
         else:
             cond = batch["cond"]
 
@@ -345,7 +360,10 @@ def make_train_step(
         return jax.jit(_step, **donate_kw)
 
     state_spec = P()
-    batch_spec = {k: P("data") for k in ["real_image", "flame", "indices", "cond"]}
+    batch_spec = {
+        k: P("data")
+        for k in ["real_image", "flame", "indices", "cond", "flame_render", "crop", "flip"]
+    }
 
     def wrapped(state, batch, rng):
         specs = {k: batch_spec[k] for k in batch}

@@ -26,6 +26,13 @@ def tiny_config(**over):
         batch_size=4,
         apply_texture_space_interpolation_loss=False,
         r1_interval=2,
+        # XLA:CPU executes per-sample modulated-conv grads serially; capped
+        # channels keep each step-compile+run in seconds while preserving
+        # the full program structure (512-ch parity lives in
+        # test_converter_parity / test_golden).
+        max_channels=32,
+        nmlp_for_z_to_w=2,
+        compute_dtype="float32",
     )
     base.update(over)
     return get_config(8, **base)
@@ -161,3 +168,24 @@ def test_n_critic_fractional_trains_g_twice():
     assert d_between > 0
     # D update identical in both runs (same rng, same batch).
     assert _tree_l1_diff(s1.d_params, s_ref.d_params) == 0.0
+
+
+def test_step_with_flip_and_crop_batch():
+    """Augmented batches (dataset_loaders.py:314-327 semantics): the step
+    renders conds from flame_render and applies the image's pixel transform
+    to them; the run completes with finite metrics despite sentinel labels."""
+    cfg = tiny_config()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, RES, max_tris_per_tile=256)
+    batch = make_batch(cfg, cfg.batch_size)
+    rng = np.random.default_rng(7)
+    batch["flame_render"] = batch["flame"]
+    batch["flame"] = jnp.full_like(batch["flame"], -9999.0)
+    batch["crop"] = jnp.asarray(
+        rng.integers(-5, 6, size=(cfg.batch_size, 2)), jnp.int32
+    )
+    batch["flip"] = jnp.asarray([True, False, True, False])
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(new_state.step) == 1
