@@ -137,6 +137,18 @@ def _bin_triangles(fv, n_tiles_y, n_tiles_x, tile, max_per_tile, h, w, alive_fra
     return ids.astype(jnp.int32), valid, overflow
 
 
+def auto_max_tris_per_tile(n_faces: int, n_tiles: int) -> int:
+    """Mesh-derived per-tile candidate capacity.
+
+    A uniformly projected closed mesh keeps ~half its faces after back-face
+    culling; an 8x concentration factor covers close-ups where the face
+    fills a fraction of the tiles.  Rounded up to a multiple of 128 (TPU
+    lane width), clamped to [256, n_faces]."""
+    est = 8 * max(1, n_faces // max(1, n_tiles))
+    est = (est + 127) // 128 * 128
+    return int(min(n_faces, max(256, est)))
+
+
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "tile", "max_tris_per_tile")
 )

@@ -37,6 +37,21 @@ class RenderedMaps(NamedTuple):
     normal: jnp.ndarray  # (B, H, W, 3) in [0, 1]
     mask: jnp.ndarray  # (B, H, W) bool foreground
     depth: jnp.ndarray  # (B, H, W)
+    # True where a rasterizer tile dropped candidate triangles (its
+    # max_tris_per_tile capacity overflowed) — geometry was silently lost
+    # for that sample.  Surfaced into train metrics by the step.
+    overflow: jnp.ndarray = None  # (B,) bool
+
+
+def _raise_on_overflow(overflow: "jnp.ndarray"):
+    import numpy as np
+
+    if np.asarray(overflow).any():
+        raise RuntimeError(
+            "rasterizer tile overflow: candidate triangles were dropped; "
+            "raise max_tris_per_tile (or pass max_tris_per_tile=None for "
+            "mesh-derived auto-sizing)"
+        )
 
 
 def render_tex_and_normal(
@@ -51,7 +66,8 @@ def render_tex_and_normal(
     image_size: int = 256,
     constant_albedo: float | None = None,
     tile: int = 32,
-    max_tris_per_tile: int = 384,
+    max_tris_per_tile: int | None = 384,
+    assert_no_overflow: bool = False,
 ) -> RenderedMaps:
     """Render textured + normal-map conditioning images from FLAME codes.
 
@@ -63,6 +79,11 @@ def render_tex_and_normal(
       cam: (B, 3) orthographic (s, tx, ty).
       constant_albedo: if set, replaces the PCA albedo with this grey level
         (reference OverLayViz constant_albedo option).
+      max_tris_per_tile: per-tile candidate capacity; ``None`` auto-sizes
+        from the mesh (see raster.auto_max_tris_per_tile).  Overflow is
+        reported per sample in ``RenderedMaps.overflow``.
+      assert_no_overflow: debug switch — raise on the host (via
+        jax.debug.callback) if any tile dropped triangles.
 
     Returns:
       RenderedMaps with channel-last images.
@@ -80,6 +101,12 @@ def render_tex_and_normal(
     import numpy as np
 
     faces = np.asarray(res.faces)
+    if max_tris_per_tile is None:
+        from gif_tpu.render.raster import auto_max_tris_per_tile
+
+        max_tris_per_tile = auto_max_tris_per_tile(
+            faces.shape[0], (image_size // tile) ** 2
+        )
     pix = to_pixel_space(trans, image_size, image_size)
     fv = face_vertices(pix, faces)
 
@@ -137,7 +164,10 @@ def render_tex_and_normal(
     m3 = mask[..., None]
     textured = jnp.where(m3, textured, 0.0)
     normal_img = jnp.where(m3, pix_norm * 0.5 + 0.5, 0.0)
-    return RenderedMaps(textured, normal_img, mask, rast.depth)
+    overflow = jnp.any(rast.tile_overflow, axis=-1)  # (B,)
+    if assert_no_overflow:
+        jax.debug.callback(_raise_on_overflow, overflow)
+    return RenderedMaps(textured, normal_img, mask, rast.depth, overflow)
 
 
 class FlameRenderer:

@@ -36,8 +36,12 @@ from gif_tpu.render.renderer import render_tex_and_normal
 
 
 def render_condition_maps(
-    res, flame_params: jnp.ndarray, cfg: TrainConfig, max_tris_per_tile: int = 512
-) -> jnp.ndarray:
+    res,
+    flame_params: jnp.ndarray,
+    cfg: TrainConfig,
+    max_tris_per_tile: int = 512,
+    return_overflow: bool = False,
+):
     """FLAME 236-d params -> quantized [-1, 1] condition maps, on device.
 
     Replaces the reference's DECA-rendered LMDB precompute
@@ -49,6 +53,10 @@ def render_condition_maps(
     render resolution and bilinearly resized to the training resolution
     before quantization — the reference's render-at-512, train-at-256 path
     (losses.py:215-216, create_deca_rendered_lmdb.py render->resize->PNG).
+
+    With ``return_overflow`` returns (cond, overflow (B,) bool) — True where
+    the rasterizer dropped candidate triangles for a sample (SURVEY "no
+    silent caps").
     """
     from gif_tpu.utils.image import resize_bilinear
 
@@ -77,7 +85,10 @@ def render_condition_maps(
         parts.append(rend * 2.0 - 1.0)
     if cfg.normal_maps_as_cond:
         parts.append(norm * 2.0 - 1.0)
-    return jnp.concatenate(parts, axis=-1)
+    cond = jnp.concatenate(parts, axis=-1)
+    if return_overflow:
+        return cond, maps.overflow
+    return cond
 
 
 def make_train_step(
@@ -86,7 +97,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     step_res: Optional[int] = None,
     face_region_mask: Optional[np.ndarray] = None,
-    max_tris_per_tile: int = 512,
+    max_tris_per_tile: Optional[int] = None,
     donate: bool = False,
 ):
     """Build the jitted train step.
@@ -103,6 +114,15 @@ def make_train_step(
     gen, disc = build_models(cfg)
     g_tx, d_tx = make_optimizers(cfg)
     step_idx = cfg.max_step if step_res is None else step_res
+    if max_tris_per_tile is None:
+        # Mesh-derived capacity: the fixed 512 default silently dropped
+        # triangles for dense meshes / big camera scales (the overflow now
+        # also shows in the render_overflow metric).
+        from gif_tpu.render.raster import auto_max_tris_per_tile
+
+        max_tris_per_tile = auto_max_tris_per_tile(
+            res.faces.shape[0], (cfg.render_image_size // 32) ** 2
+        )
     if face_region_mask is None:
         # Texture-space face-only mask shipped with the FLAME resources
         # (reference losses.py:132-134, constants.py:48).
@@ -138,8 +158,12 @@ def make_train_step(
             # but the condition maps render from the real parameters and then
             # receive the SAME pixel transform the image got (the reference
             # transformed its pre-rendered LMDB maps).
-            cond = render_condition_maps(
-                res, batch.get("flame_render", flame), cfg, max_tris_per_tile
+            cond, render_overflow = render_condition_maps(
+                res,
+                batch.get("flame_render", flame),
+                cfg,
+                max_tris_per_tile,
+                return_overflow=True,
             )
             if "crop" in batch:
                 from gif_tpu.data.augment import same_padding_crop_jax
@@ -151,6 +175,7 @@ def make_train_step(
                 )
         else:
             cond = batch["cond"]
+            render_overflow = jnp.zeros((real.shape[0],), bool)
 
         # ------------------------------------------------------------------
         # D update (train.py:82-178)
@@ -345,6 +370,9 @@ def make_train_step(
             "g_loss": g_aux["g_adv"],
             "r1": r1_val,
             "g_total": g_total,
+            # Fraction of samples whose condition render dropped triangles
+            # (tile capacity overflow) — must stay 0 in healthy runs.
+            "render_overflow": jnp.mean(render_overflow.astype(jnp.float32)),
         }
         if "interp" in g_aux:
             metrics["interp"] = g_aux["interp"]

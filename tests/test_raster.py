@@ -314,3 +314,61 @@ def test_sample_at_points_grad_matches_autodiff(rng):
     g = jax.grad(loss)(img)
     g_ref = jax.grad(loss_ref)(img)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_tile_overflow_reported_and_auto_sizing():
+    """Overflowing a tiny per-tile cap must be visible, not silent
+    (SURVEY 'no silent caps'); auto sizing clears it for this mesh."""
+    from gif_tpu.render.raster import rasterize, auto_max_tris_per_tile
+    from gif_tpu.flame.mesh import face_vertices
+    from gif_tpu.render.raster import to_pixel_space
+
+    res = synthetic_flame_resources(seed=1, n_vertices=503)
+    rng = np.random.default_rng(0)
+    verts = jnp.asarray(res.v_template[None] * 8.0)  # fills the frame
+    pix = to_pixel_space(verts, 32, 32)
+    fv = face_vertices(pix, np.asarray(res.faces))
+
+    tiny = rasterize(fv, h=32, w=32, tile=32, max_tris_per_tile=8)
+    assert bool(jnp.any(tiny.tile_overflow))
+
+    cap = auto_max_tris_per_tile(res.faces.shape[0], 1)
+    assert 256 <= cap <= res.faces.shape[0]
+    auto = rasterize(fv, h=32, w=32, tile=32, max_tris_per_tile=cap)
+    assert not bool(jnp.any(auto.tile_overflow))
+
+
+def test_renderer_overflow_flag_and_assert():
+    import pytest
+    from gif_tpu.render.renderer import render_tex_and_normal
+
+    res = synthetic_flame_resources(seed=1, n_vertices=503)
+    b = 2
+    shape = jnp.zeros((b, 100))
+    exp = jnp.zeros((b, 50))
+    pose = jnp.zeros((b, 6))
+    tex = jnp.zeros((b, 50))
+    light = jnp.zeros((b, 9, 3)).at[:, 0, :].set(3.0)
+    cam = jnp.asarray([[8.0, 0.0, 0.0]] * b)
+
+    ok = render_tex_and_normal(
+        res, shape, exp, pose, tex, light, cam, image_size=32,
+        max_tris_per_tile=None,  # mesh-derived auto sizing
+    )
+    assert ok.overflow.shape == (b,)
+    assert not bool(jnp.any(ok.overflow))
+
+    bad = render_tex_and_normal(
+        res, shape, exp, pose, tex, light, cam, image_size=32,
+        max_tris_per_tile=8,
+    )
+    assert bool(jnp.all(bad.overflow))
+
+    with pytest.raises(Exception, match="tile overflow"):
+        render_tex_and_normal(
+            res, shape, exp, pose, tex, light, cam, image_size=32,
+            max_tris_per_tile=8, assert_no_overflow=True,
+        )
+        import jax
+
+        jax.effects_barrier()
