@@ -2,6 +2,7 @@
 FID-plot tooling, profiling timer."""
 
 import os
+import pytest
 
 import numpy as np
 import jax
@@ -36,6 +37,7 @@ def test_graph_draw_and_param_summary(tmp_path):
     assert any(k != "TOTAL" for k in counts)
 
 
+@pytest.mark.slow
 def test_eye_regressor_learns_solver():
     """With symmetric eye vertices (real-FLAME-like geometry) the regressor
     must beat the predict-the-mean baseline on held-out samples."""

@@ -20,6 +20,8 @@ import types
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the default smoke tier
 import torch
 
 import jax

@@ -7,6 +7,8 @@ unit, and the FidComputer pipeline."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the default smoke tier
 import jax
 import jax.numpy as jnp
 

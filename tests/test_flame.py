@@ -5,6 +5,7 @@ model/mesh_and_3d_helpers.py and my_utils/eye_centering.py, plus analytic
 invariants of the LBS decode (zero params -> template, global rotation is
 rigid, etc.)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -159,6 +160,7 @@ def test_decode_jit_and_grad():
         assert np.isfinite(np.asarray(gi)).all()
 
 
+@pytest.mark.slow
 def test_synthetic_face_region_mask_nontrivial_and_roundtrips(tmp_path):
     """The resources carry a texture-space face mask (reference
     constants.py:48) that is neither all-ones nor all-zeros and survives
@@ -180,6 +182,7 @@ def test_synthetic_face_region_mask_nontrivial_and_roundtrips(tmp_path):
     np.testing.assert_array_equal(loaded.face_region_mask, m)
 
 
+@pytest.mark.slow
 def test_interp_loss_face_mask_changes_value():
     """The face-region mask must actually gate the texture-interp loss
     (reference losses.py:170-176); with a fake generator the masked and

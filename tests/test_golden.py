@@ -8,6 +8,7 @@ sampler renders must equal the ones the train step renders for the same
 parameters.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ def test_generator_golden_forward():
     assert not np.allclose(out, out_other)
 
 
+@pytest.mark.slow
 def test_render_consistency_across_entry_points():
     """The in-step renderer and the sampler's renderer must agree exactly
     (the reference's dataset_re_rendering_check asserts its re-render matches

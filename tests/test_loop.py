@@ -1,6 +1,10 @@
 """End-to-end training-loop smoke test on a tiny config: a few iterations,
 checkpoint save + resume, metrics file, sampler round trip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the default smoke tier
+
 import os
 
 import numpy as np
@@ -27,6 +31,11 @@ def _cfg(**over):
         apply_texture_space_interpolation_loss=False,
         checkpoint_every=2,
         fid_every=10_000,
+        # Capped model: XLA:CPU runs per-sample modconv grads serially
+        # (512-ch steps take minutes each on host).
+        max_channels=32,
+        nmlp_for_z_to_w=2,
+        compute_dtype="float32",
     )
     base.update(over)
     return get_config(8, **base)

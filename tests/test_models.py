@@ -8,6 +8,9 @@ architecture (stg2_generator.py:69-137, stg2_discriminator.py:8-46)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the default smoke tier
 
 from gif_tpu.models import StyledGenerator, Discriminator, flame_texture_space
 from gif_tpu.models.generator import synthesis_channels
@@ -212,7 +215,5 @@ def test_style_mixing_requires_inject_index():
     cond = jnp.zeros((1, 16, 16, 6))
     z0 = jnp.zeros((1, 512))
     vars_ = gen.init(jax.random.PRNGKey(0), cond, z=z0, step=2)
-    import pytest
-
     with pytest.raises(ValueError, match="inject_index"):
         gen.apply(vars_, cond, z=[z0, z0], step=2)

@@ -5,6 +5,7 @@ smoke/invariant tests."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from gif_tpu.render import (
     rasterize,
@@ -157,6 +158,7 @@ def test_sh_basis_constant_light():
     np.testing.assert_allclose(basis[:, 0], SH_CONST[0], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_tex_and_normal_end_to_end():
     res = synthetic_flame_resources()
     b = 2
@@ -187,6 +189,7 @@ def test_render_tex_and_normal_end_to_end():
     assert (t[~m] == 0).all() and (nrm[~m] == 0).all()
 
 
+@pytest.mark.slow
 def test_render_gradients_flow_to_codes():
     res = synthetic_flame_resources()
     b = 1
@@ -212,6 +215,7 @@ def test_render_gradients_flow_to_codes():
     assert float(jnp.abs(gl).sum()) > 0
 
 
+@pytest.mark.slow
 def test_get_visibility():
     res = synthetic_flame_resources()
     verts = jnp.asarray(res.v_template[None] * 8.0)  # fill [-1,1] ndc roughly
@@ -221,6 +225,7 @@ def test_get_visibility():
     assert 0.1 < v.mean() < 0.9
 
 
+@pytest.mark.slow
 def test_pallas_rasterizer_matches_xla(rng):
     """The Pallas kernel (interpret mode on CPU) must match the XLA raster."""
     from gif_tpu.render.raster_pallas import rasterize_pallas
@@ -242,6 +247,7 @@ def test_pallas_rasterizer_matches_xla(rng):
     )
 
 
+@pytest.mark.slow
 def test_pallas_fused_attrs_match_interpolation(rng):
     """Fused attr output must equal rasterize + interpolate_face_attributes."""
     from gif_tpu.render.raster_pallas import (
@@ -265,6 +271,7 @@ def test_pallas_fused_attrs_match_interpolation(rng):
     np.testing.assert_array_equal(np.asarray(rast.tri_id), np.asarray(plain.tri_id))
 
 
+@pytest.mark.slow
 def test_pallas_fused_attrs_grad(rng):
     from gif_tpu.render.raster_pallas import rasterize_pallas_with_attrs
 
@@ -296,6 +303,7 @@ def test_sample_at_points_forward_matches_grid_sample(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sample_at_points_grad_matches_autodiff(rng):
     """The sort/cumsum/searchsorted backward must equal the plain autodiff
     gradient of the same sampling math."""
@@ -316,6 +324,7 @@ def test_sample_at_points_grad_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tile_overflow_reported_and_auto_sizing():
     """Overflowing a tiny per-tile cap must be visible, not silent
     (SURVEY 'no silent caps'); auto sizing clears it for this mesh."""
@@ -338,6 +347,7 @@ def test_tile_overflow_reported_and_auto_sizing():
     assert not bool(jnp.any(auto.tile_overflow))
 
 
+@pytest.mark.slow
 def test_renderer_overflow_flag_and_assert():
     import pytest
     from gif_tpu.render.renderer import render_tex_and_normal

@@ -2,6 +2,10 @@
 with reference shapes must convert to trees that exactly match the flax
 models' init structure (names, shapes)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the default smoke tier
+
 import numpy as np
 import jax
 import jax.numpy as jnp

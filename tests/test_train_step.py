@@ -11,6 +11,8 @@ from jax.sharding import Mesh
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the default smoke tier
+
 from gif_tpu.train import get_config, create_train_state, make_train_step
 from gif_tpu.flame.resources import synthetic_flame_resources
 
