@@ -1,28 +1,42 @@
 """Pallas TPU rasterizer kernel, optionally fused with attribute
 interpolation.
 
-Same tile-binned gather formulation as gif_tpu.render.raster (and the same
-numerical semantics as the reference CUDA kernel), re-architected for the
-hardware:
+Same numerical semantics as the reference CUDA kernel
+(standard_rasterize_cuda_kernel.cu: dot-product barycentrics :79-109,
+``w0 > 0 && w1 >= 0 && w2 >= 0`` inside test :144, signed-area back-face
+cull :31-34, perspective-correct ``1/sum(w_i/z_i)`` depth :148), but a
+race-free gather formulation re-architected for the hardware:
 
-- candidate triangle data arrives candidate-major (K, 16): per-candidate
-  scalars are sublane-aligned (CK, 1, 1) column slices;
+- binning is CHUNK-granular: faces are Morton-ordered once per mesh
+  (``morton_face_order``) so consecutive ids are spatial neighbours, then
+  grouped into chunks of 32 whose screen bboxes are intersected with the
+  image tiles on the XLA side — dense ops over ~F/128 chunks.  Each tile's
+  candidate tensor is assembled by a *block* gather (one 32-row dynamic
+  slice per selected chunk).  This replaced a per-FACE top_k compaction +
+  per-tile row gathers that profiling showed at ~25 ms/step (an 82 MB s32
+  sort + three >500K-row take_along_axis fusions); chunk granularity makes
+  the top_k two orders of magnitude smaller and turns the gathers into
+  coherent block slices;
+- candidate data arrives candidate-major (K, 32): per-candidate scalars are
+  sublane-aligned column slices of one pipelined VMEM block per tile group
+  (coordinates, alive bit, face id, and the corner attributes share a
+  single 32-column table, so one block feeds the whole kernel);
 - pixels live on a native (P/128, 128) sublane x lane plane, so every
   output block is hardware-tile aligned;
-- the grid groups 8 tiles per step (amortizing grid-step overhead) with an
-  inner ``fori_loop`` over tiles wrapping a *dynamic* ``fori_loop`` over
-  candidate chunks; running (best_z, best_k, best_u, best_v) lives in the
-  output VMEM blocks — no HBM intermediates;
-- per-tile candidate counts arrive via scalar prefetch, so background tiles
-  cost one loop-bound check;
-- the winner is picked by two min-reductions (z, then lowest candidate id
-  among z-ties) — gather-free and deterministic;
-- **fused attributes**: profiling showed per-pixel XLA gathers (corner
-  attributes + triangle ids) dominating the raster stage (~29 ms/step at
-  256px b16 vs 6 ms for this kernel).  With ``face_attrs`` given, the kernel
-  interpolates the winner's corner attributes in-register with the already
-  computed one-hot winner mask, eliminating those gathers.  A custom VJP
-  (scatter-add over the saved tri/bary buffers) keeps the attribute path
+- the grid groups tiles per step with an inner ``fori_loop`` over tiles
+  wrapping a *dynamic* ``fori_loop`` over candidate chunks; running
+  (best_z, best_id, best_u, best_v) lives in the output VMEM blocks — no
+  HBM intermediates; per-tile candidate counts arrive via scalar prefetch,
+  so background tiles cost one loop-bound check;
+- the winner is picked by two min-reductions (z, then lowest face id among
+  z-ties) — gather-free and deterministic (the reference CUDA kernel
+  instead papers over its atomicMin/write race by dispatching the kernel
+  twice, :252-314);
+- **fused attributes**: with ``face_attrs`` given, the kernel interpolates
+  the winner's corner attributes in-register with the already computed
+  one-hot winner mask, eliminating the per-pixel XLA gathers that
+  dominated the raster stage (~29 ms/step at 256px b16).  A custom VJP
+  (segment-sum over the saved tri/bary buffers) keeps the attribute path
   differentiable; positions stay non-differentiable like the reference.
 """
 
@@ -32,24 +46,137 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gif_tpu.render.raster import (
-    BIG_DEPTH,
-    RasterOutput,
-    _bin_triangles,
-)
+from gif_tpu.render.raster import BIG_DEPTH, RasterOutput, _front_facing
 
-_CHUNK = 64  # candidates processed per loop iteration (sublane dim)
+_CHUNK = 64  # candidates processed per inner loop iteration (sublane dim)
+_BLOCK = 32  # faces per binning chunk / per gathered slice
+_COLS = 32  # 9 coords + alive + gid + 15 attrs + 5 pad
 _LANE = 128
 _BIG_K = 2**30  # python int: pallas kernels must not capture traced constants
 
 
+def morton_face_order(faces: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Spatial (Morton / z-order) permutation of the face list.
+
+    Orders faces by the interleaved-bit code of their centroid's (x, y)
+    position on the template mesh, so consecutive face ids are spatial
+    neighbours and the chunk bboxes used for binning stay tight.  One-time,
+    host-side; any consistent permutation of the face list leaves mesh
+    semantics unchanged.
+    """
+    cent = verts[faces].mean(axis=1)
+    bits = 10
+
+    def quant(a):
+        lo, hi = float(a.min()), float(a.max())
+        return np.clip(
+            ((a - lo) / (hi - lo + 1e-9) * (2**bits - 1)).astype(np.int64),
+            0,
+            2**bits - 1,
+        )
+
+    xi, yi = quant(cent[:, 0]), quant(cent[:, 1])
+    code = np.zeros(faces.shape[0], np.int64)
+    for b in range(bits):
+        code |= ((xi >> b) & 1) << (2 * b) | ((yi >> b) & 1) << (2 * b + 1)
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
+    """Chunk-granular binning + coherent candidate assembly (XLA side).
+
+    fvp: (B, F, 3, 3) pixel-space corners; face_attrs None or (B, F, 3, D)
+    corner-major attributes.
+
+    Returns (cand (B, T, MC*32, 32) per-tile candidate tensor, counts
+    (B, T) int32 candidate slots to process, overflow (B, T) bool).  The
+    candidate tensor concatenates the tile's overlapping 32-face chunks
+    (ascending chunk id, so candidate order is ascending face id); faces
+    of a gathered chunk that miss the tile are culled by the kernel's
+    inside test, dead faces by the alive column.
+    """
+    b, f = fvp.shape[:2]
+    n_ch = -(-f // _BLOCK)
+    f_pad = n_ch * _BLOCK
+    n_tiles = n_ty * n_tx
+
+    xs, ys = fvp[..., 0], fvp[..., 1]  # (B, F, 3)
+    x_min = jnp.maximum(jnp.ceil(xs.min(-1)), 0)
+    x_max = jnp.minimum(jnp.floor(xs.max(-1)), w - 1)
+    y_min = jnp.maximum(jnp.ceil(ys.min(-1)), 0)
+    y_max = jnp.minimum(jnp.floor(ys.max(-1)), h - 1)
+    alive = _front_facing(fvp) & (x_min <= x_max) & (y_min <= y_max)
+
+    # --- face table (B, F_pad, 32): coords | alive | gid | attrs | pad ---
+    gid = jnp.broadcast_to(
+        jnp.arange(f, dtype=jnp.float32)[None, :, None], (b, f, 1)
+    )
+    parts = [fvp.reshape(b, f, 9), alive[..., None].astype(jnp.float32), gid]
+    used = 11
+    if face_attrs is not None:
+        flat_attrs = face_attrs.reshape(b, f, -1).astype(jnp.float32)
+        used += flat_attrs.shape[-1]
+        parts.append(flat_attrs)
+    assert used <= _COLS, "candidate payload exceeds the column budget"
+    parts.append(jnp.zeros((b, f, _COLS - used), jnp.float32))
+    tab = jnp.concatenate(parts, axis=-1)
+    if f_pad != f:
+        tab = jnp.pad(tab, ((0, 0), (0, f_pad - f), (0, 0)))
+
+    # --- chunk bboxes over alive faces ---
+    big = jnp.float32(BIG_DEPTH)
+
+    def chunk_red(a, fill, op):
+        a = jnp.where(alive, a, fill)
+        if f_pad != f:
+            a = jnp.pad(a, ((0, 0), (0, f_pad - f)), constant_values=fill)
+        return op(a.reshape(b, n_ch, _BLOCK), axis=-1)
+
+    cx0 = chunk_red(x_min, big, jnp.min)
+    cx1 = chunk_red(x_max, -big, jnp.max)
+    cy0 = chunk_red(y_min, big, jnp.min)
+    cy1 = chunk_red(y_max, -big, jnp.max)
+
+    ty = (jnp.arange(n_ty) * tile).astype(jnp.float32)
+    tx = (jnp.arange(n_tx) * tile).astype(jnp.float32)
+    oy = (cy0[:, None, :] <= (ty[None, :, None] + tile - 1)) & (
+        cy1[:, None, :] >= ty[None, :, None]
+    )  # (B, n_ty, n_ch)
+    ox = (cx0[:, None, :] <= (tx[None, :, None] + tile - 1)) & (
+        cx1[:, None, :] >= tx[None, :, None]
+    )
+    mask = (oy[:, :, None, :] & ox[:, None, :, :]).reshape(b, n_tiles, n_ch)
+
+    mc = min(max_chunks, n_ch)
+    score = mask.astype(jnp.int32)
+    _, ids = lax.top_k(score, mc)  # stable: lowest chunk id first
+    n_overlap = jnp.sum(score, axis=-1)
+    overflow = n_overlap > mc
+    counts = jnp.minimum(n_overlap, mc) * _BLOCK  # candidate SLOTS per tile
+
+    # --- coherent block gather: one 128-row slice per selected chunk ---
+    def slice_chunk(tab_b, c):  # (F_pad, 32), () -> (_BLOCK, 32)
+        return lax.dynamic_slice(tab_b, (c * _BLOCK, 0), (_BLOCK, _COLS))
+
+    gather_tile = jax.vmap(slice_chunk, in_axes=(None, 0))  # over MC
+    gather_img = jax.vmap(gather_tile, in_axes=(None, 0))  # over T
+    cand = jax.vmap(gather_img)(tab, ids)  # (B, T, MC, _BLOCK, 32)
+    cand = cand.reshape(b, n_tiles, mc * _BLOCK, _COLS)
+    # The kernel's inner loop reads 64-slot blocks: keep K a multiple.
+    k_pad = (-cand.shape[2]) % 64
+    if k_pad:
+        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+    return cand, counts.astype(jnp.int32), overflow
+
+
 def _raster_group_kernel(
     counts_ref,  # scalar prefetch: (B, T) int32
-    cand_ref,  # (1, TG, K, 16): cols x0,y0,z0,x1,y1,z1,x2,y2,z2,valid
+    cand_ref,  # (1, TG, K, 32) candidate block
     *refs,
     tile: int,
     n_tx: int,
@@ -57,10 +184,8 @@ def _raster_group_kernel(
     n_attrs: int,
 ):
     if n_attrs:
-        attr_ref = refs[0]  # (1, TG, K, 3*D padded)
-        bestz_ref, bestk_ref, bestu_ref, bestv_ref, attr_out_ref = refs[1:]
+        bestz_ref, bestk_ref, bestu_ref, bestv_ref, attr_out_ref = refs
     else:
-        attr_ref = None
         attr_out_ref = None
         bestz_ref, bestk_ref, bestu_ref, bestv_ref = refs
 
@@ -74,7 +199,6 @@ def _raster_group_kernel(
     )
     lx = (lin % tile).astype(jnp.float32)
     ly = (lin // tile).astype(jnp.float32)
-    iota_ck = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
 
     def col(blk, i):  # (CK, cols) -> (CK, 1, 1), sublane-aligned slice
         return blk[:, i].reshape(_CHUNK, 1, 1)
@@ -89,14 +213,19 @@ def _raster_group_kernel(
             attr_out_ref[0, tl] = jnp.zeros((n_attrs, sub, _LANE), jnp.float32)
 
         count = counts_ref[b, t]
-        ty = t // n_tx
-        tx = t % n_tx
-        px = (tx * tile).astype(jnp.float32) + lx[None]  # (1, SUB, 128)
-        py = (ty * tile).astype(jnp.float32) + ly[None]
+        tyi = t // n_tx
+        txi = t % n_tx
+        px = (txi * tile).astype(jnp.float32) + lx[None]  # (1, SUB, 128)
+        py = (tyi * tile).astype(jnp.float32) + ly[None]
+
+        iota_ck = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
 
         def chunk_body(ci, _):
             s = ci * _CHUNK
-            blk = cand_ref[0, tl, pl.ds(s, _CHUNK), :]  # (CK, 16)
+            blk = cand_ref[0, tl, pl.ds(s, _CHUNK), :]  # (CK, 32)
+            # Slots at [count, ceil(count/64)*64) belong to unselected
+            # chunks (top_k padding) — mask them out.
+            in_range = (iota_ck + s) < count
             x0, y0, z0 = col(blk, 0), col(blk, 1), col(blk, 2)
             x1, y1, z1 = col(blk, 3), col(blk, 4), col(blk, 5)
             x2, y2, z2 = col(blk, 6), col(blk, 7), col(blk, 8)
@@ -120,14 +249,17 @@ def _raster_group_kernel(
             v = (dot00 * dot12 - dot01 * dot02) * inv
             w0 = 1.0 - u - v
 
-            inside = (w0 > 0) & (v >= 0) & (u >= 0) & (valid > 0)
+            inside = (w0 > 0) & (v >= 0) & (u >= 0) & (valid > 0) & in_range
             zp = 1.0 / (w0 * (1.0 / z0) + v * (1.0 / z1) + u * (1.0 / z2))
             zm = jnp.where(inside, zp, BIG_DEPTH)  # (CK, SUB, 128)
 
             zmin = jnp.min(zm, axis=0)  # (SUB, 128)
-            k_global = iota_ck + s
-            k_masked = jnp.where(zm == zmin[None], k_global, _BIG_K)
-            kmin = jnp.min(k_masked, axis=0)  # unique winner slot (SUB, 128)
+            # Candidate order is ascending face id (ascending chunks of
+            # consecutive faces), so the lowest face id among z-ties is
+            # selected via the candidates' gid column.
+            gidc = col(blk, 10).astype(jnp.int32)
+            k_masked = jnp.where(zm == zmin[None], gidc, _BIG_K)
+            kmin = jnp.min(k_masked, axis=0)  # (SUB, 128)
             onehot = (k_masked == kmin[None]).astype(jnp.float32)
             u_sel = jnp.sum(u * onehot, axis=0)
             v_sel = jnp.sum(v * onehot, axis=0)
@@ -136,24 +268,18 @@ def _raster_group_kernel(
             bestz_ref[0, tl] = jnp.where(better, zmin, bestz_ref[0, tl])
             bestu_ref[0, tl] = jnp.where(better, u_sel, bestu_ref[0, tl])
             bestv_ref[0, tl] = jnp.where(better, v_sel, bestv_ref[0, tl])
-            # Winner's GLOBAL face id, selected in-register (saves a 1M-row
-            # take_along_axis outside the kernel).
-            gid = jnp.sum(col(blk, 10) * onehot, axis=0)
-            bestk_ref[0, tl] = jnp.where(
-                better, gid.astype(jnp.int32), bestk_ref[0, tl]
-            )
+            bestk_ref[0, tl] = jnp.where(better, kmin, bestk_ref[0, tl])
 
             if n_attrs:
                 # Winner's barycentric-blended attributes, selected with the
                 # same one-hot mask: no gathers anywhere.
-                ablk = attr_ref[0, tl, pl.ds(s, _CHUNK), :]  # (CK, 3*D pad)
                 m0 = onehot * w0
                 m1 = onehot * v
                 m2 = onehot * u
                 for d in range(n_attrs):
-                    a0 = ablk[:, d].reshape(_CHUNK, 1, 1)
-                    a1 = ablk[:, n_attrs + d].reshape(_CHUNK, 1, 1)
-                    a2 = ablk[:, 2 * n_attrs + d].reshape(_CHUNK, 1, 1)
+                    a0 = col(blk, 11 + d)
+                    a1 = col(blk, 11 + n_attrs + d)
+                    a2 = col(blk, 11 + 2 * n_attrs + d)
                     sel = jnp.sum(m0 * a0 + m1 * a1 + m2 * a2, axis=0)
                     attr_out_ref[0, tl, d] = jnp.where(
                         better, sel, attr_out_ref[0, tl, d]
@@ -183,51 +309,36 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     n_ty, n_tx = h // tile, w // tile
     n_tiles = n_ty * n_tx
     b, f = face_verts_pix.shape[:2]
-    k_bin = min(max_tris_per_tile, f)
-    k = ((k_bin + _CHUNK - 1) // _CHUNK) * _CHUNK  # chunk-aligned capacity
+    n_ch = -(-f // _BLOCK)
+    # Chunk-list capacity derived from the face capacity; gathered chunks
+    # include bbox-only neighbours, so leave 1.5x headroom — overflow is
+    # still reported per tile.  Kept even so K is a multiple of the inner
+    # loop's 64-slot blocks.
+    mc = min(n_ch, max(8, -(-3 * max_tris_per_tile // (2 * _BLOCK))))
+    mc += mc % 2
 
     fvp = lax.stop_gradient(face_verts_pix)
-
-    ids, valid, overflow = jax.vmap(
-        lambda fv: _bin_triangles(fv, n_ty, n_tx, tile, k_bin, h, w)
-    )(fvp)
-    if k != k_bin:  # pad the bin out to the chunk boundary
-        pad = k - k_bin
-        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, pad)))
-        valid = jnp.pad(valid, ((0, 0), (0, 0), (0, pad)))
-    counts = jnp.sum(valid, axis=-1, dtype=jnp.int32)  # (B, T)
-
-    # Candidate tensor (B, T, K, 16): 9 coords + validity + padding.
-    gathered = jnp.take_along_axis(
-        fvp.reshape(b, f, 9)[:, None], ids[..., None], axis=2
-    )  # (B, T, K, 9)
-    cand = jnp.concatenate(
-        [
-            gathered,
-            valid[..., None].astype(jnp.float32),
-            ids[..., None].astype(jnp.float32),  # col 10: global face id
-            jnp.zeros((b, n_tiles, k, 5), jnp.float32),
-        ],
-        axis=-1,
+    n_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
+    cand, counts, overflow = _chunk_bin(
+        fvp,
+        None if face_attrs is None else lax.stop_gradient(face_attrs),
+        n_ty,
+        n_tx,
+        tile,
+        h,
+        w,
+        mc,
     )
+    k = cand.shape[2]
 
-    n_attrs = 0
     operands = [counts, cand]
-    if face_attrs is not None:
-        n_attrs = face_attrs.shape[-1]
-        # corner-major columns [A0_0..A0_{D-1}, A1_0.., A2_0..]: plain
-        # (B,F,3,D) -> (B,F,3D) reshape (index = corner*D + d).
-        flat = lax.stop_gradient(face_attrs).reshape(b, f, 3 * n_attrs)
-        attr_cand = jnp.take_along_axis(flat[:, None], ids[..., None], axis=2)
-        pad_cols = (-3 * n_attrs) % 8
-        if pad_cols:
-            attr_cand = jnp.pad(
-                attr_cand, ((0, 0), (0, 0), (0, 0), (0, pad_cols))
-            )
-        operands.append(attr_cand.astype(jnp.float32))
+    # Candidate blocks are K x 128(lane-padded) floats per tile; keep the
+    # VMEM working set bounded by grouping few tiles per grid step.
+    import os
 
-    tiles_per_step = min(8, n_tiles)
-    assert n_tiles % tiles_per_step == 0
+    tiles_per_step = int(os.environ.get("GIF_TPU_RASTER_TG", "8"))
+    while n_tiles % tiles_per_step:
+        tiles_per_step -= 1
     n_groups = n_tiles // tiles_per_step
     kernel = functools.partial(
         _raster_group_kernel,
@@ -238,10 +349,7 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     )
     tg4 = lambda bi, gi, *_: (bi, gi, 0, 0)
     tg5 = lambda bi, gi, *_: (bi, gi, 0, 0, 0)
-    in_specs = [pl.BlockSpec((1, tiles_per_step, k, 16), tg4)]
-    if n_attrs:
-        ad = operands[2].shape[-1]
-        in_specs.append(pl.BlockSpec((1, tiles_per_step, k, ad), tg4))
+    in_specs = [pl.BlockSpec((1, tiles_per_step, k, _COLS), tg4)]
     out_specs = [pl.BlockSpec((1, tiles_per_step, sub, _LANE), tg4)] * 4
     out_shape = [
         jax.ShapeDtypeStruct((b, n_tiles, sub, _LANE), jnp.float32),
@@ -333,7 +441,7 @@ def rasterize_pallas_with_attrs(
 
     Returns:
       (RasterOutput, attr_img (B, H, W, D)).  Differentiable w.r.t.
-      ``face_attrs`` (scatter-add VJP over the winner buffers); positions
+      ``face_attrs`` (segment-sum VJP over the winner buffers); positions
       are non-differentiable, matching the reference rasterizer.
     """
     return _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile)

@@ -32,6 +32,27 @@ from gif_tpu.render.raster import (
 from gif_tpu.render.shading import sh9_shading, albedo_from_tex_code, grid_sample_bilinear
 
 
+# One-time Morton permutation per resource set (keyed by identity; the
+# value pins the res object so ids stay unique).  Spatially-coherent face
+# ids keep the chunk-skip Pallas rasterizer's per-chunk bboxes tight.
+_MORTON_CACHE: dict = {}
+
+
+def _morton_faces(res):
+    import numpy as np
+
+    hit = _MORTON_CACHE.get(id(res))
+    if hit is not None and hit[0] is res:
+        return hit[1]
+    from gif_tpu.render.raster_pallas import morton_face_order
+
+    faces = np.asarray(res.faces)
+    perm = morton_face_order(faces, np.asarray(res.v_template))
+    sorted_faces = faces[perm]
+    _MORTON_CACHE[id(res)] = (res, sorted_faces)
+    return sorted_faces
+
+
 class RenderedMaps(NamedTuple):
     textured: jnp.ndarray  # (B, H, W, 3) in [0, 1]
     normal: jnp.ndarray  # (B, H, W, 3) in [0, 1]
@@ -100,7 +121,10 @@ def render_tex_and_normal(
 
     import numpy as np
 
-    faces = np.asarray(res.faces)
+    use_pallas = (tile * tile) % 128 == 0 and jax.default_backend() == "tpu"
+    # Pallas path: Morton-ordered face list (only the face-id labelling
+    # changes; the rendered maps are identical up to z-ties).
+    faces = _morton_faces(res) if use_pallas else np.asarray(res.faces)
     if max_tris_per_tile is None:
         from gif_tpu.render.raster import auto_max_tris_per_tile
 
@@ -120,11 +144,15 @@ def render_tex_and_normal(
     # On TPU with 128-aligned tiles use the Pallas kernel with fused
     # attribute interpolation (kills the dominant per-pixel gathers);
     # otherwise the XLA raster + gather-based interpolation.
-    if (tile * tile) % 128 == 0 and jax.default_backend() == "tpu":
+    if use_pallas:
         from gif_tpu.render.raster_pallas import rasterize_pallas_with_attrs
 
+        # 16px tiles cull ~3x more faces per tile than 32px ones (the
+        # kernel's work is candidate-slots x pixels); fall back to the
+        # caller's tile when 16 doesn't divide the image.
+        ptile = 16 if image_size % 16 == 0 else tile
         rast, interp = rasterize_pallas_with_attrs(
-            fv, attrs, image_size, image_size, tile, max_tris_per_tile
+            fv, attrs, image_size, image_size, ptile, max_tris_per_tile
         )
     else:
         rast = rasterize(
