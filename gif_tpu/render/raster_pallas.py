@@ -1,48 +1,48 @@
-"""Pallas TPU rasterizer kernel, optionally fused with attribute
-interpolation.
+"""Pallas TPU rasterizer kernel with fused attribute interpolation.
 
 Same numerical semantics as the reference CUDA kernel
 (standard_rasterize_cuda_kernel.cu: dot-product barycentrics :79-109,
 ``w0 > 0 && w1 >= 0 && w2 >= 0`` inside test :144, signed-area back-face
 cull :31-34, perspective-correct ``1/sum(w_i/z_i)`` depth :148), but a
-race-free gather formulation re-architected for the hardware:
+race-free MXU formulation re-architected for the hardware:
 
+- **barycentrics are affine in pixel coordinates**: the reference's
+  per-pixel dot-product formula is algebraically ``u = au*px + bu*py + cu``
+  (and likewise v and the perspective-depth *denominator*), so the per-face
+  coefficients are precomputed once on the XLA side and the kernel
+  evaluates ALL candidates against ALL pixels of a tile with three tiny
+  ``P(p,3) @ C(k,3)^T`` matmuls — the hot loop runs on the MXU instead of
+  per-candidate vector splats;
+- the z-test maximizes the depth *denominator* (monotone reciprocal of the
+  perspective depth, positive for every hit), so no per-pair division;
+- the winner's payload (its affine coefficients + corner attributes) is
+  selected with a second matmul, ``onehot(p,k) @ cand(k,32)`` — gather-free
+  and deterministic (lowest face id among exact z-ties; the reference CUDA
+  kernel instead papers over its atomicMin/write race by dispatching the
+  kernel twice, :252-314);
+- the kernel emits pixel-major winner tables; barycentrics, depth, masks
+  and the interpolated attributes are decoded from the winner's payload by
+  dense XLA elementwise ops (perfectly fused, no gathers);
 - binning is CHUNK-granular: faces are Morton-ordered once per mesh
   (``morton_face_order``) so consecutive ids are spatial neighbours, then
   grouped into chunks of 32 whose screen bboxes are intersected with the
-  image tiles on the XLA side — dense ops over ~F/128 chunks.  Each tile's
-  candidate tensor is assembled by a *block* gather (one 32-row dynamic
-  slice per selected chunk).  This replaced a per-FACE top_k compaction +
-  per-tile row gathers that profiling showed at ~25 ms/step (an 82 MB s32
-  sort + three >500K-row take_along_axis fusions); chunk granularity makes
-  the top_k two orders of magnitude smaller and turns the gathers into
-  coherent block slices;
-- candidate data arrives candidate-major (K, 32): per-candidate scalars are
-  sublane-aligned column slices of one pipelined VMEM block per tile group
-  (coordinates, alive bit, face id, and the corner attributes share a
-  single 32-column table, so one block feeds the whole kernel);
-- pixels live on a native (P/128, 128) sublane x lane plane, so every
-  output block is hardware-tile aligned;
-- the grid groups tiles per step with an inner ``fori_loop`` over tiles
-  wrapping a *dynamic* ``fori_loop`` over candidate chunks; running
-  (best_z, best_id, best_u, best_v) lives in the output VMEM blocks — no
-  HBM intermediates; per-tile candidate counts arrive via scalar prefetch,
-  so background tiles cost one loop-bound check;
-- the winner is picked by two min-reductions (z, then lowest face id among
-  z-ties) — gather-free and deterministic (the reference CUDA kernel
-  instead papers over its atomicMin/write race by dispatching the kernel
-  twice, :252-314);
-- **fused attributes**: with ``face_attrs`` given, the kernel interpolates
-  the winner's corner attributes in-register with the already computed
-  one-hot winner mask, eliminating the per-pixel XLA gathers that
-  dominated the raster stage (~29 ms/step at 256px b16).  A custom VJP
-  (segment-sum over the saved tri/bary buffers) keeps the attribute path
-  differentiable; positions stay non-differentiable like the reference.
+  image tiles on the XLA side.  Each tile's candidate tensor is assembled
+  by a *block* gather (one 32-row dynamic slice per selected chunk).  This
+  replaced a per-FACE top_k compaction + per-tile row gathers that
+  profiling showed at ~25 ms/step (an 82 MB s32 sort + three >500K-row
+  take_along_axis fusions);
+- 16px tiles (with per-tile candidate counts via scalar prefetch) keep the
+  candidate working set per tile ~4x smaller than 32px ones.
+
+A custom VJP (segment-sum over the saved tri/bary buffers) keeps the
+attribute path differentiable; positions stay non-differentiable like the
+reference.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,11 +53,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gif_tpu.render.raster import BIG_DEPTH, RasterOutput, _front_facing
 
-_CHUNK = 64  # candidates processed per inner loop iteration (sublane dim)
+_CHUNK = 128  # candidate slots per inner loop iteration
 _BLOCK = 32  # faces per binning chunk / per gathered slice
-_COLS = 32  # 9 coords + alive + gid + 15 attrs + 5 pad
+_COLS = 32  # 9 affine coeffs + valid + gid + 15 attrs + pad
 _LANE = 128
 _BIG_K = 2**30  # python int: pallas kernels must not capture traced constants
+
+# Candidate-table column layout.
+_C_AU, _C_AV, _C_AZ = 0, 3, 6  # each 3 wide: (a, b, c) of an affine form
+_C_VALID, _C_GID, _C_ATTR = 9, 10, 11
+_C_ZD = 26  # winner's depth denominator, packed into the payload row
 
 
 def morton_face_order(faces: np.ndarray, verts: np.ndarray) -> np.ndarray:
@@ -87,18 +92,53 @@ def morton_face_order(faces: np.ndarray, verts: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
+def _affine_coeffs(fvp):
+    """Per-face affine forms of the reference's barycentric formula.
+
+    fvp: (B, F, 3, 3).  Returns (B, F, 9): for q in {u, v, zdenom},
+    q(px, py) = a_q*px + b_q*py + c_q, matching the dot-product formula of
+    the reference kernel (:79-109) and ``zdenom = w0/z0 + v/z1 + u/z2``
+    (:148) algebraically.
+    """
+    p0, p1, p2 = fvp[..., 0, :], fvp[..., 1, :], fvp[..., 2, :]
+    v0x = p2[..., 0] - p0[..., 0]
+    v0y = p2[..., 1] - p0[..., 1]
+    v1x = p1[..., 0] - p0[..., 0]
+    v1y = p1[..., 1] - p0[..., 1]
+    dot00 = v0x * v0x + v0y * v0y
+    dot01 = v0x * v1x + v0y * v1y
+    dot11 = v1x * v1x + v1y * v1y
+    det = dot00 * dot11 - dot01 * dot01
+    inv = jnp.where(det == 0, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
+
+    au = (dot11 * v0x - dot01 * v1x) * inv
+    bu = (dot11 * v0y - dot01 * v1y) * inv
+    cu = -(au * p0[..., 0] + bu * p0[..., 1])
+    av = (dot00 * v1x - dot01 * v0x) * inv
+    bv = (dot00 * v1y - dot01 * v0y) * inv
+    cv = -(av * p0[..., 0] + bv * p0[..., 1])
+
+    rz0 = 1.0 / p0[..., 2]
+    rz1 = 1.0 / p1[..., 2]
+    rz2 = 1.0 / p2[..., 2]
+    du = rz2 - rz0  # u scales corner 2, v corner 1 (w = [w0, v, u])
+    dv = rz1 - rz0
+    az = au * du + av * dv
+    bz = bu * du + bv * dv
+    cz = rz0 + cu * du + cv * dv
+    return jnp.stack([au, bu, cu, av, bv, cv, az, bz, cz], axis=-1)
+
+
 def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     """Chunk-granular binning + coherent candidate assembly (XLA side).
 
-    fvp: (B, F, 3, 3) pixel-space corners; face_attrs None or (B, F, 3, D)
-    corner-major attributes.
-
-    Returns (cand (B, T, MC*32, 32) per-tile candidate tensor, counts
-    (B, T) int32 candidate slots to process, overflow (B, T) bool).  The
+    Returns (cand (B, T, K, 32) per-tile candidate tensor with the affine
+    coefficients, validity, face id, and corner-major attributes; counts
+    (B, T) int32 candidate slots to process; overflow (B, T) bool).  The
     candidate tensor concatenates the tile's overlapping 32-face chunks
-    (ascending chunk id, so candidate order is ascending face id); faces
-    of a gathered chunk that miss the tile are culled by the kernel's
-    inside test, dead faces by the alive column.
+    (ascending chunk id, so candidate order is ascending face id); faces of
+    a gathered chunk that miss the tile are culled by the inside test, dead
+    faces by the valid column.
     """
     b, f = fvp.shape[:2]
     n_ch = -(-f // _BLOCK)
@@ -112,11 +152,11 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     y_max = jnp.minimum(jnp.floor(ys.max(-1)), h - 1)
     alive = _front_facing(fvp) & (x_min <= x_max) & (y_min <= y_max)
 
-    # --- face table (B, F_pad, 32): coords | alive | gid | attrs | pad ---
+    # --- candidate table (B, F_pad, 32) ---
     gid = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.float32)[None, :, None], (b, f, 1)
     )
-    parts = [fvp.reshape(b, f, 9), alive[..., None].astype(jnp.float32), gid]
+    parts = [_affine_coeffs(fvp), alive[..., None].astype(jnp.float32), gid]
     used = 11
     if face_attrs is not None:
         flat_attrs = face_attrs.reshape(b, f, -1).astype(jnp.float32)
@@ -159,7 +199,7 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     overflow = n_overlap > mc
     counts = jnp.minimum(n_overlap, mc) * _BLOCK  # candidate SLOTS per tile
 
-    # --- coherent block gather: one 128-row slice per selected chunk ---
+    # --- coherent block gather: one 32-row slice per selected chunk ---
     def slice_chunk(tab_b, c):  # (F_pad, 32), () -> (_BLOCK, 32)
         return lax.dynamic_slice(tab_b, (c * _BLOCK, 0), (_BLOCK, _COLS))
 
@@ -167,8 +207,8 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     gather_img = jax.vmap(gather_tile, in_axes=(None, 0))  # over T
     cand = jax.vmap(gather_img)(tab, ids)  # (B, T, MC, _BLOCK, 32)
     cand = cand.reshape(b, n_tiles, mc * _BLOCK, _COLS)
-    # The kernel's inner loop reads 64-slot blocks: keep K a multiple.
-    k_pad = (-cand.shape[2]) % 64
+    # The kernel's inner loop reads _CHUNK-slot blocks: keep K a multiple.
+    k_pad = (-cand.shape[2]) % _CHUNK
     if k_pad:
         cand = jnp.pad(cand, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
     return cand, counts.astype(jnp.int32), overflow
@@ -177,117 +217,118 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
 def _raster_group_kernel(
     counts_ref,  # scalar prefetch: (B, T) int32
     cand_ref,  # (1, TG, K, 32) candidate block
-    *refs,
+    bestd_ref,  # (1, TG, P, 32) winner payload row (+ zdenom at _C_ZD)
+    *,
     tile: int,
     n_tx: int,
     tiles_per_step: int,
-    n_attrs: int,
 ):
-    if n_attrs:
-        bestz_ref, bestk_ref, bestu_ref, bestv_ref, attr_out_ref = refs
-    else:
-        attr_out_ref = None
-        bestz_ref, bestk_ref, bestu_ref, bestv_ref = refs
-
     b = pl.program_id(0)
     tg = pl.program_id(1)
-    sub = (tile * tile) // _LANE
+    p = tile * tile
 
-    lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (sub, _LANE), 0) * _LANE
-        + jax.lax.broadcasted_iota(jnp.int32, (sub, _LANE), 1)
-    )
-    lx = (lin % tile).astype(jnp.float32)
-    ly = (lin // tile).astype(jnp.float32)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    lx = (pix % tile).astype(jnp.float32)  # (P, 1)
+    ly = (pix // tile).astype(jnp.float32)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (p, 3), 1)
 
-    def col(blk, i):  # (CK, cols) -> (CK, 1, 1), sublane-aligned slice
-        return blk[:, i].reshape(_CHUNK, 1, 1)
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (p, _COLS), 1)
 
     def tile_body(tl, _):
         t = tg * tiles_per_step + tl  # global tile id
-        bestz_ref[0, tl] = jnp.full((sub, _LANE), BIG_DEPTH, jnp.float32)
-        bestk_ref[0, tl] = jnp.zeros((sub, _LANE), jnp.int32)
-        bestu_ref[0, tl] = jnp.zeros((sub, _LANE), jnp.float32)
-        bestv_ref[0, tl] = jnp.zeros((sub, _LANE), jnp.float32)
-        if n_attrs:
-            attr_out_ref[0, tl] = jnp.zeros((n_attrs, sub, _LANE), jnp.float32)
-
         count = counts_ref[b, t]
         tyi = t // n_tx
         txi = t % n_tx
-        px = (txi * tile).astype(jnp.float32) + lx[None]  # (1, SUB, 128)
-        py = (tyi * tile).astype(jnp.float32) + ly[None]
+        px = (txi * tile).astype(jnp.float32) + lx  # (P, 1)
+        py = (tyi * tile).astype(jnp.float32) + ly
+        # P matrix [px, py, 1] without any concatenation.
+        pmat = jnp.where(
+            lane3 == 0, px, jnp.where(lane3 == 1, py, 1.0)
+        ).astype(jnp.bfloat16)  # (P, 3); integer coords — exact in bf16
+        ones_p = jnp.ones((p, 1), jnp.bfloat16)
 
-        iota_ck = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
+        def ab_t(a_bf, bmat):  # a (P, d) @ bmat (K, d)^T -> (P, K), MXU
+            # The TPU MXU truncates f32 operands to bf16 at DEFAULT
+            # precision, which corrupts the O(100) affine constants enough
+            # to flip inside tests on ~15% of pixels; 6-pass HIGHEST costs
+            # ~16 ms/step.  The left operand (integer pixel coords / ones)
+            # is EXACT in bf16, so two DEFAULT dots against the right
+            # operand's bf16 high/low halves give 16-bit-mantissa accuracy
+            # at full MXU rate.
+            b_hi = bmat.astype(jnp.bfloat16)
+            b_lo = (bmat - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        def chunk_body(ci, _):
+            def one(mat):
+                return lax.dot_general(
+                    a_bf,
+                    mat,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            return one(b_hi) + one(b_lo)
+
+        def chunk_body(ci, carry):
             s = ci * _CHUNK
             blk = cand_ref[0, tl, pl.ds(s, _CHUNK), :]  # (CK, 32)
-            # Slots at [count, ceil(count/64)*64) belong to unselected
-            # chunks (top_k padding) — mask them out.
-            in_range = (iota_ck + s) < count
-            x0, y0, z0 = col(blk, 0), col(blk, 1), col(blk, 2)
-            x1, y1, z1 = col(blk, 3), col(blk, 4), col(blk, 5)
-            x2, y2, z2 = col(blk, 6), col(blk, 7), col(blk, 8)
-            valid = col(blk, 9)
+            u = ab_t(pmat, blk[:, _C_AU : _C_AU + 3])  # (P, CK)
+            v = ab_t(pmat, blk[:, _C_AV : _C_AV + 3])
+            zd = ab_t(pmat, blk[:, _C_AZ : _C_AZ + 3])
+            # Outer products broadcast per-candidate scalars to all pixels.
+            valid = ab_t(ones_p, blk[:, _C_VALID : _C_VALID + 1])
+            gid = ab_t(ones_p, blk[:, _C_GID : _C_GID + 1])
 
-            v0x = x2 - x0
-            v0y = y2 - y0
-            v1x = x1 - x0
-            v1y = y1 - y0
-            dot00 = v0x * v0x + v0y * v0y
-            dot01 = v0x * v1x + v0y * v1y
-            dot11 = v1x * v1x + v1y * v1y
-            det = dot00 * dot11 - dot01 * dot01
-            inv = jnp.where(det == 0, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
-
-            v2x = px - x0  # (CK, SUB, 128)
-            v2y = py - y0
-            dot02 = v0x * v2x + v0y * v2y
-            dot12 = v1x * v2x + v1y * v2y
-            u = (dot11 * dot02 - dot01 * dot12) * inv
-            v = (dot00 * dot12 - dot01 * dot02) * inv
             w0 = 1.0 - u - v
-
+            in_range = (
+                jax.lax.broadcasted_iota(jnp.int32, (p, _CHUNK), 1) + s
+            ) < count
             inside = (w0 > 0) & (v >= 0) & (u >= 0) & (valid > 0) & in_range
-            zp = 1.0 / (w0 * (1.0 / z0) + v * (1.0 / z1) + u * (1.0 / z2))
-            zm = jnp.where(inside, zp, BIG_DEPTH)  # (CK, SUB, 128)
+            # Hits have zdenom > 0; maximizing it minimizes the
+            # perspective-correct depth 1/zdenom without any division.
+            zm = jnp.where(inside, zd, 0.0)  # (P, CK)
+            zmax = jnp.max(zm, axis=1, keepdims=True)  # (P, 1)
+            k_masked = jnp.where(
+                (zm == zmax) & inside, gid, jnp.float32(_BIG_K)
+            )
+            kmin = jnp.min(k_masked, axis=1, keepdims=True)  # (P, 1)
+            onehot = (k_masked == kmin).astype(jnp.float32)
 
-            zmin = jnp.min(zm, axis=0)  # (SUB, 128)
-            # Candidate order is ascending face id (ascending chunks of
-            # consecutive faces), so the lowest face id among z-ties is
-            # selected via the candidates' gid column.
-            gidc = col(blk, 10).astype(jnp.int32)
-            k_masked = jnp.where(zm == zmin[None], gidc, _BIG_K)
-            kmin = jnp.min(k_masked, axis=0)  # (SUB, 128)
-            onehot = (k_masked == kmin[None]).astype(jnp.float32)
-            u_sel = jnp.sum(u * onehot, axis=0)
-            v_sel = jnp.sum(v * onehot, axis=0)
+            best_zd, best_d = carry
+            better = zmax > best_zd
+            # Winner-payload selection: one-hot matmuls are exact in bf16,
+            # so select the payload's bf16 high and low halves with two
+            # DEFAULT-precision dots (6-pass HIGHEST here cost ~16 ms/step)
+            # and recombine — 16-bit-mantissa accuracy at bf16 speed.
+            blk_hi = blk.astype(jnp.bfloat16)
+            blk_lo = (blk - blk_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            oh_bf = onehot.astype(jnp.bfloat16)
 
-            better = zmin < bestz_ref[0, tl]
-            bestz_ref[0, tl] = jnp.where(better, zmin, bestz_ref[0, tl])
-            bestu_ref[0, tl] = jnp.where(better, u_sel, bestu_ref[0, tl])
-            bestv_ref[0, tl] = jnp.where(better, v_sel, bestv_ref[0, tl])
-            bestk_ref[0, tl] = jnp.where(better, kmin, bestk_ref[0, tl])
+            def sel_dot(m):
+                return lax.dot_general(
+                    oh_bf,
+                    m,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-            if n_attrs:
-                # Winner's barycentric-blended attributes, selected with the
-                # same one-hot mask: no gathers anywhere.
-                m0 = onehot * w0
-                m1 = onehot * v
-                m2 = onehot * u
-                for d in range(n_attrs):
-                    a0 = col(blk, 11 + d)
-                    a1 = col(blk, 11 + n_attrs + d)
-                    a2 = col(blk, 11 + 2 * n_attrs + d)
-                    sel = jnp.sum(m0 * a0 + m1 * a1 + m2 * a2, axis=0)
-                    attr_out_ref[0, tl, d] = jnp.where(
-                        better, sel, attr_out_ref[0, tl, d]
-                    )
-            return 0
+            sel = sel_dot(blk_hi) + sel_dot(blk_lo)  # (P, 32) winner payload
+            return (
+                jnp.where(better, zmax, best_zd),
+                jnp.where(better, sel, best_d),
+            )
 
-        n_chunks = (count + _CHUNK - 1) // _CHUNK
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        def chunk_loop(ci, carry):
+            return chunk_body(ci, carry)
+
+        best_zd, best_d = jax.lax.fori_loop(
+            0,
+            (count + _CHUNK - 1) // _CHUNK,
+            chunk_loop,
+            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, _COLS), jnp.float32)),
+        )
+        # zdenom rides in a pad column of the payload row (a separate
+        # (P, 1) output would lane-pad to 128 and double the VMEM bill).
+        bestd_ref[0, tl] = jnp.where(lane32 == _C_ZD, best_zd, best_d)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_step, tile_body, 0)
@@ -303,19 +344,15 @@ def _detile(x, b, n_ty, n_tx, tile, h, w):
 def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     """Shared implementation; face_attrs is None or (B, F, 3, D)."""
     assert h % tile == 0 and w % tile == 0
-    p = tile * tile
-    assert p % _LANE == 0, "tile*tile must be a multiple of 128"
-    sub = p // _LANE
     n_ty, n_tx = h // tile, w // tile
     n_tiles = n_ty * n_tx
+    p = tile * tile
     b, f = face_verts_pix.shape[:2]
     n_ch = -(-f // _BLOCK)
     # Chunk-list capacity derived from the face capacity; gathered chunks
-    # include bbox-only neighbours, so leave 1.5x headroom — overflow is
-    # still reported per tile.  Kept even so K is a multiple of the inner
-    # loop's 64-slot blocks.
-    mc = min(n_ch, max(8, -(-3 * max_tris_per_tile // (2 * _BLOCK))))
-    mc += mc % 2
+    # include bbox-only neighbours, so leave 2x headroom — overflow is
+    # still reported per tile.
+    mc = min(n_ch, max(8, -(-2 * max_tris_per_tile // _BLOCK)))
 
     fvp = lax.stop_gradient(face_verts_pix)
     n_attrs = 0 if face_attrs is None else face_attrs.shape[-1]
@@ -331,12 +368,13 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     )
     k = cand.shape[2]
 
-    operands = [counts, cand]
-    # Candidate blocks are K x 128(lane-padded) floats per tile; keep the
-    # VMEM working set bounded by grouping few tiles per grid step.
-    import os
-
-    tiles_per_step = int(os.environ.get("GIF_TPU_RASTER_TG", "8"))
+    # Per-tile VMEM: double-buffered candidate + payload blocks, both
+    # lane-padded to 128; keep the working set under ~10 MB.
+    per_tile = (k + p) * _LANE * 4 * 2
+    tg_budget = max(1, (10 << 20) // per_tile)
+    tiles_per_step = int(os.environ.get("GIF_TPU_RASTER_TG", "0")) or min(
+        8, tg_budget, n_tiles
+    )
     while n_tiles % tiles_per_step:
         tiles_per_step -= 1
     n_groups = n_tiles // tiles_per_step
@@ -345,66 +383,53 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
         tile=tile,
         n_tx=n_tx,
         tiles_per_step=tiles_per_step,
-        n_attrs=n_attrs,
     )
     tg4 = lambda bi, gi, *_: (bi, gi, 0, 0)
-    tg5 = lambda bi, gi, *_: (bi, gi, 0, 0, 0)
-    in_specs = [pl.BlockSpec((1, tiles_per_step, k, _COLS), tg4)]
-    out_specs = [pl.BlockSpec((1, tiles_per_step, sub, _LANE), tg4)] * 4
-    out_shape = [
-        jax.ShapeDtypeStruct((b, n_tiles, sub, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((b, n_tiles, sub, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((b, n_tiles, sub, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((b, n_tiles, sub, _LANE), jnp.float32),
-    ]
-    if n_attrs:
-        out_specs.append(
-            pl.BlockSpec((1, tiles_per_step, n_attrs, sub, _LANE), tg5)
-        )
-        out_shape.append(
-            jax.ShapeDtypeStruct((b, n_tiles, n_attrs, sub, _LANE), jnp.float32)
-        )
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_groups),
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=[pl.BlockSpec((1, tiles_per_step, k, _COLS), tg4)],
+        out_specs=pl.BlockSpec((1, tiles_per_step, p, _COLS), tg4),
     )
     interpret = jax.default_backend() != "tpu"
-    outs = pl.pallas_call(
+    bestd = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, p, _COLS), jnp.float32),
         interpret=interpret,
-    )(*operands)
-    bestz, bestk, bestu, bestv = outs[:4]
+    )(counts, cand)
 
-    bestz = bestz.reshape(b, n_tiles, p)
-    bestk = bestk.reshape(b, n_tiles, p)
-    bestu = bestu.reshape(b, n_tiles, p)
-    bestv = bestv.reshape(b, n_tiles, p)
-
-    hit = bestz < BIG_DEPTH
-    tri = jnp.where(hit, bestk, -1).astype(jnp.int32)
-    w0 = 1.0 - bestu - bestv
-    bary = jnp.stack([w0, bestv, bestu], axis=-1)
-    bary = jnp.where(hit[..., None], bary, 0.0)
-
-    depth = _detile(bestz.reshape(b, n_tiles, tile, tile), b, n_ty, n_tx, tile, h, w)
-    tri = _detile(tri.reshape(b, n_tiles, tile, tile), b, n_ty, n_tx, tile, h, w)
-    bary = _detile(
-        bary.reshape(b, n_tiles, tile, tile, 3), b, n_ty, n_tx, tile, h, w
+    # --- decode the winner payload with dense XLA ops (no gathers) ---
+    d_img = _detile(
+        bestd.reshape(b, n_tiles, tile, tile, _COLS), b, n_ty, n_tx, tile, h, w
     )
+    zd_img = d_img[..., _C_ZD]
+    hit = zd_img > 0
+    depth = jnp.where(hit, 1.0 / jnp.where(hit, zd_img, 1.0), BIG_DEPTH)
+    tri = jnp.where(hit, d_img[..., _C_GID].astype(jnp.int32), -1)
+
+    px = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    py = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+
+    def affine(base):
+        return (
+            d_img[..., base] * px + d_img[..., base + 1] * py + d_img[..., base + 2]
+        )
+
+    u = affine(_C_AU)
+    v = affine(_C_AV)
+    w0 = 1.0 - u - v
+    bary = jnp.stack([w0, v, u], axis=-1)
+    bary = jnp.where(hit[..., None], bary, 0.0)
     rast = RasterOutput(depth, tri, bary, overflow)
 
     attr_img = None
     if n_attrs:
-        attr = outs[4]  # (B, T, D, SUB, 128)
-        attr = jnp.moveaxis(attr.reshape(b, n_tiles, n_attrs, p), 2, 3)
-        attr_img = _detile(
-            attr.reshape(b, n_tiles, tile, tile, n_attrs), b, n_ty, n_tx, tile, h, w
-        )
+        a0 = d_img[..., _C_ATTR : _C_ATTR + n_attrs]
+        a1 = d_img[..., _C_ATTR + n_attrs : _C_ATTR + 2 * n_attrs]
+        a2 = d_img[..., _C_ATTR + 2 * n_attrs : _C_ATTR + 3 * n_attrs]
+        attr_img = w0[..., None] * a0 + v[..., None] * a1 + u[..., None] * a2
+        attr_img = jnp.where(hit[..., None], attr_img, 0.0)
     return rast, attr_img
 
 

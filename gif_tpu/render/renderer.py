@@ -175,13 +175,16 @@ def render_tex_and_normal(
     else:
         r = res.tex_mean.shape[0]
         albedo_map = jnp.full((b, r, r, 3), float(constant_albedo), verts.dtype)
-    # UV in [0,1] -> grid in [-1,1].  The texture gather runs in bf16 on TPU
-    # (albedo is 8-bit-quantized data; halves the dominant gather's traffic).
+    # UV in [0,1] -> grid in [-1,1].  On TPU the lookup runs as the MXU
+    # one-hot-matmul sampler (bf16 texture, f32 accumulation — the XLA
+    # patch-gather version cost ~23 ms/step at 256px); off-TPU the exact
+    # f32 gather path.
     grid = pix_uv * 2.0 - 1.0
-    if jax.default_backend() == "tpu":
-        albedo = grid_sample_bilinear(
-            albedo_map.astype(jnp.bfloat16), grid
-        ).astype(verts.dtype)
+    r = albedo_map.shape[1]
+    if jax.default_backend() == "tpu" and (r * 3) % 128 == 0:
+        from gif_tpu.render.sampler_pallas import grid_sample_bilinear_mxu
+
+        albedo = grid_sample_bilinear_mxu(albedo_map, grid).astype(verts.dtype)
     else:
         albedo = grid_sample_bilinear(albedo_map, grid)
 

@@ -1,0 +1,126 @@
+"""MXU bilinear texture sampling: grid_sample as one-hot matmuls.
+
+``torch.nn.functional.grid_sample`` semantics (bilinear, zeros padding,
+align_corners=False) — the same contract as
+:func:`gif_tpu.render.shading.grid_sample_bilinear` — but formulated for
+the TPU memory system.  Profiling showed the XLA patch-gather version at
+~23 ms/step for the renderer's albedo lookup (a 1M-row random gather runs
+at ~3 GB/s effective); random access is the one thing the TPU can't do
+fast, so this kernel converts the lookup into dense MXU work:
+
+- the row interpolation is a matmul ``W_y(p, H) @ T(H, W*C)`` where
+  ``W_y`` holds each pixel's two-row lerp weights at its ``floor(gy)`` /
+  ``floor(gy)+1`` columns (built in-register from an iota compare, exact
+  zeros-padding semantics: out-of-range rows simply match no column);
+- the column interpolation multiplies the interpolated rows by the
+  analogous ``W_x`` weights and lane-reduces each channel segment;
+- the texture block (H, W*C — channel-major lanes) stays resident in VMEM
+  across all pixel blocks of a sample.
+
+Precision: weights and texture run in bf16 on the MXU (f32 accumulation),
+matching the existing TPU albedo path which already samples a bf16 map —
+worst-case error ~2^-8 relative, well under the renderer's 1/255 output
+quantization.  The backward pass delegates to the XLA reference
+implementation's VJP (cold path: only the texture-steal/eval code
+differentiates through sampling).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gif_tpu.render.shading import grid_sample_bilinear
+
+_PB = 512  # pixels per grid step
+
+
+def _sampler_kernel(grid_ref, tex_ref, out_ref, *, h: int, w: int, c: int):
+    g = grid_ref[...]  # (1, PB, 2)
+    gx = (g[0, :, 0].reshape(_PB, 1) + 1.0) * (w / 2.0) - 0.5
+    gy = (g[0, :, 1].reshape(_PB, 1) + 1.0) * (h / 2.0) - 0.5
+
+    y0 = jnp.floor(gy)
+    dy = gy - y0
+    x0 = jnp.floor(gx)
+    dx = gx - x0
+    y0i = y0.astype(jnp.int32)  # (PB, 1); may be out of [0, h-1]
+    x0i = x0.astype(jnp.int32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_PB, h), 1)
+    wy = jnp.where(rows == y0i, 1.0 - dy, 0.0) + jnp.where(
+        rows == y0i + 1, dy, 0.0
+    )  # (PB, H); out-of-range taps match no column == zeros padding
+    r = jnp.dot(
+        wy.astype(jnp.bfloat16),
+        tex_ref[0],
+        preferred_element_type=jnp.float32,
+    )  # (PB, W*C), channel-major segments
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_PB, w), 1)
+    wx = jnp.where(cols == x0i, 1.0 - dx, 0.0) + jnp.where(
+        cols == x0i + 1, dx, 0.0
+    )  # (PB, W)
+    for ch in range(c):
+        seg = r[:, ch * w : (ch + 1) * w]
+        out_ref[0, :, ch] = jnp.sum(seg * wx, axis=1)
+
+
+def _sampler_fwd_impl(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = img.shape
+    ho, wo = grid.shape[1], grid.shape[2]
+    p = ho * wo
+    p_pad = -(-p // _PB) * _PB
+    flat_grid = grid.reshape(b, p, 2)
+    if p_pad != p:
+        flat_grid = jnp.pad(flat_grid, ((0, 0), (0, p_pad - p), (0, 0)))
+    # Channel-major texture lanes: T2[y, c*W + x]  ((B,H,W,C) -> (B,H,C,W)).
+    tex = jnp.moveaxis(img, -1, -2).reshape(b, h, c * w)
+
+    kernel = functools.partial(_sampler_kernel, h=h, w=w, c=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, p_pad // _PB),
+        in_specs=[
+            pl.BlockSpec((1, _PB, 2), lambda bi, pi: (bi, pi, 0)),
+            pl.BlockSpec((1, h, c * w), lambda bi, pi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _PB, c), lambda bi, pi: (bi, pi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, c), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(flat_grid, tex.astype(jnp.bfloat16))
+    return out[:, :p].reshape(b, ho, wo, c)
+
+
+@jax.custom_vjp
+def grid_sample_bilinear_mxu(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """MXU-formulated ``grid_sample_bilinear`` (NHWC, zeros padding).
+
+    Args:
+      img: (B, H, W, C) with ``W*C`` a multiple of 128 (lane tiling).
+      grid: (B, Ho, Wo, 2) sampling locations in [-1, 1], (x, y) order.
+
+    Returns:
+      (B, Ho, Wo, C) float32.
+    """
+    return _sampler_fwd_impl(img, grid)
+
+
+def _gsm_fwd(img, grid):
+    return _sampler_fwd_impl(img, grid), (img, grid)
+
+
+def _gsm_bwd(res, g):
+    # Cold path: reuse the XLA reference implementation's gradients.
+    img, grid = res
+    _, vjp = jax.vjp(lambda i, gr: grid_sample_bilinear(i, gr), img, grid)
+    d_img, d_grid = vjp(g.astype(img.dtype))
+    return d_img, d_grid
+
+
+grid_sample_bilinear_mxu.defvjp(_gsm_fwd, _gsm_bwd)

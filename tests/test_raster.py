@@ -238,12 +238,16 @@ def test_pallas_rasterizer_matches_xla(rng):
     )
     np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(ref.tri_id))
     hit = np.asarray(ref.tri_id[0]) >= 0
+    # The kernel evaluates the (algebraically identical) affine form of the
+    # barycentric/depth formulas; fp re-association leaves ~1e-4 relative
+    # noise vs the per-pixel dot-product evaluation.
     np.testing.assert_allclose(
-        np.asarray(got.depth[0])[hit], np.asarray(ref.depth[0])[hit], rtol=1e-5
+        np.asarray(got.depth[0])[hit], np.asarray(ref.depth[0])[hit], rtol=1e-3
     )
     # bary tolerates fp-association differences between the two formulations
+    # (the kernel's affine evaluation carries ~2^-16-mantissa coefficients)
     np.testing.assert_allclose(
-        np.asarray(got.bary[0])[hit], np.asarray(ref.bary[0])[hit], rtol=5e-3, atol=5e-4
+        np.asarray(got.bary[0])[hit], np.asarray(ref.bary[0])[hit], rtol=5e-3, atol=2e-3
     )
 
 
@@ -382,3 +386,31 @@ def test_renderer_overflow_flag_and_assert():
         import jax
 
         jax.effects_barrier()
+
+
+def test_mxu_sampler_matches_reference(rng):
+    """The MXU one-hot-matmul sampler must match grid_sample_bilinear."""
+    from gif_tpu.render.sampler_pallas import grid_sample_bilinear_mxu
+
+    # W*C = 128 lanes; includes out-of-range points (zeros padding).
+    img = rng.standard_normal((2, 64, 64, 2)).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, size=(2, 16, 16, 2)).astype(np.float32)
+    ref = grid_sample_bilinear(jnp.asarray(img), jnp.asarray(grid))
+    got = grid_sample_bilinear_mxu(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_mxu_sampler_grad_matches_reference(rng):
+    from gif_tpu.render.sampler_pallas import grid_sample_bilinear_mxu
+
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 2)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-0.9, 0.9, size=(1, 8, 8, 2)).astype(np.float32))
+
+    g_img_m, g_grid_m = jax.grad(
+        lambda i, g: jnp.sum(grid_sample_bilinear_mxu(i, g) ** 2), argnums=(0, 1)
+    )(img, grid)
+    g_img_r, g_grid_r = jax.grad(
+        lambda i, g: jnp.sum(grid_sample_bilinear(i, g) ** 2), argnums=(0, 1)
+    )(img, grid)
+    np.testing.assert_allclose(np.asarray(g_img_m), np.asarray(g_img_r), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(g_grid_m), np.asarray(g_grid_r), rtol=5e-2, atol=5e-1)
