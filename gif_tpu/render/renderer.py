@@ -147,12 +147,8 @@ def render_tex_and_normal(
     if use_pallas:
         from gif_tpu.render.raster_pallas import rasterize_pallas_with_attrs
 
-        # 16px tiles cull ~3x more faces per tile than 32px ones (the
-        # kernel's work is candidate-slots x pixels); fall back to the
-        # caller's tile when 16 doesn't divide the image.
-        ptile = 16 if image_size % 16 == 0 else tile
         rast, interp = rasterize_pallas_with_attrs(
-            fv, attrs, image_size, image_size, ptile, max_tris_per_tile
+            fv, attrs, image_size, image_size, tile, max_tris_per_tile
         )
     else:
         rast = rasterize(

@@ -124,3 +124,78 @@ def _gsm_bwd(res, g):
 
 
 grid_sample_bilinear_mxu.defvjp(_gsm_fwd, _gsm_bwd)
+
+
+def _scatter_kernel(grid_ref, g_ref, out_ref, *, h: int, w: int, c: int):
+    """Transpose of the sampler: accumulate per-point gradients into the
+    image — d_img[y, x, ch] += W_y[p, y] * W_x[p, x] * g[p, ch] — as three
+    ``W_y(p,H)^T @ (W_x * g_ch)(p,W)`` matmuls per pixel block."""
+    pi = pl.program_id(1)
+
+    @pl.when(pi == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g = grid_ref[...]  # (1, PB, 2)
+    gx = (g[0, :, 0].reshape(_PB, 1) + 1.0) * (w / 2.0) - 0.5
+    gy = (g[0, :, 1].reshape(_PB, 1) + 1.0) * (h / 2.0) - 0.5
+    y0 = jnp.floor(gy)
+    dy = gy - y0
+    x0 = jnp.floor(gx)
+    dx = gx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_PB, h), 1)
+    wy = (
+        jnp.where(rows == y0i, 1.0 - dy, 0.0)
+        + jnp.where(rows == y0i + 1, dy, 0.0)
+    ).astype(jnp.bfloat16)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_PB, w), 1)
+    wx = jnp.where(cols == x0i, 1.0 - dx, 0.0) + jnp.where(
+        cols == x0i + 1, dx, 0.0
+    )  # (PB, W) f32
+
+    gv = g_ref[...]  # (1, PB, C)
+    for ch in range(c):
+        m = (wx * gv[0, :, ch].reshape(_PB, 1)).astype(jnp.bfloat16)
+        d = lax.dot_general(
+            wy,
+            m,
+            (((0,), (0,)), ((), ())),  # Wy^T @ M -> (H, W)
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, ch * w : (ch + 1) * w] += d
+
+
+def scatter_bilinear_mxu(
+    g: jnp.ndarray, pts: jnp.ndarray, h: int, w: int
+) -> jnp.ndarray:
+    """Accumulate per-point cotangents ``g`` (B, P, C) at bilinear taps of
+    ``pts`` (B, P, 2) into a zeroed (B, h, w, C) image — the exact VJP of
+    bilinear point sampling w.r.t. the image, as MXU matmuls.
+
+    Replaces a sort + cumsum + searchsorted formulation whose searchsorted
+    lowered to s32 while-loops measured at ~340 ms/step inside the
+    texture-interpolation loss (and the naive scatter-add it had replaced
+    ran serial at 1.8 s/step).
+    """
+    b, p, c = g.shape
+    p_pad = -(-p // _PB) * _PB
+    if p_pad != p:
+        pts = jnp.pad(pts, ((0, 0), (0, p_pad - p), (0, 0)), constant_values=-10.0)
+        g = jnp.pad(g, ((0, 0), (0, p_pad - p), (0, 0)))
+    kernel = functools.partial(_scatter_kernel, h=h, w=w, c=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, p_pad // _PB),
+        in_specs=[
+            pl.BlockSpec((1, _PB, 2), lambda bi, pi: (bi, pi, 0)),
+            pl.BlockSpec((1, _PB, c), lambda bi, pi: (bi, pi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, c * w), lambda bi, pi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, c * w), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(pts, g.astype(jnp.float32))
+    # (B, H, C*W) channel-major lanes -> (B, H, W, C)
+    return jnp.moveaxis(out.reshape(b, h, c, w), 2, 3)

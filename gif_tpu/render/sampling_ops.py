@@ -4,8 +4,12 @@
 texture-steal inner op).  Autodiff of a plain gather transposes to
 ``scatter-add``, which XLA lowers on TPU to a *serial* while loop — profiled
 at 1.8 s/step inside the texture-interpolation loss (141k sequential
-dynamic-update-slices).  The custom VJP here computes the image gradient
-with sort + cumsum + searchsorted instead: fully vectorized, no scatter.
+dynamic-update-slices).  On TPU both directions run as the MXU
+one-hot-matmul kernels from gif_tpu.render.sampler_pallas (the backward is
+the exact transpose of the forward operator); elsewhere the forward is a
+patch gather and the backward a vectorized sort + cumsum + searchsorted
+(itself ~340 ms/step on TPU because searchsorted lowers to s32 while
+loops — kept as the fallback).
 
 Gradients flow to the image values only; point positions get zero cotangent
 (they come from FLAME *data* in every GIF use, never from parameters —
@@ -57,8 +61,16 @@ def _tap_data(img_shape, pts):
     return ids, wgt, ok
 
 
+def _use_mxu(h, w, c):
+    return jax.default_backend() == "tpu" and (w * c) % 128 == 0
+
+
 def _sample_fwd_impl(img, pts):
     b, h, w, c = img.shape
+    if _use_mxu(h, w, c):
+        from gif_tpu.render.sampler_pallas import _sampler_fwd_impl
+
+        return _sampler_fwd_impl(img, pts[:, :, None, :])[:, :, 0]
     ids, wgt, ok = _tap_data(img.shape, pts)
     flat = img.reshape(b, h * w, c)
 
@@ -90,6 +102,11 @@ def _sap_bwd(res, g):
     h, w, c = shape_token.shape[1:]
     img_shape = (pts.shape[0], h, w, c)
     img_dtype = shape_token.dtype
+    if _use_mxu(h, w, c):
+        from gif_tpu.render.sampler_pallas import scatter_bilinear_mxu
+
+        d_img = scatter_bilinear_mxu(g.astype(jnp.float32), pts, h, w)
+        return d_img.astype(img_dtype), jnp.zeros_like(pts)
     b = pts.shape[0]
     hw = h * w
     ids, wgt, ok = _tap_data(img_shape, pts)

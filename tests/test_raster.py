@@ -414,3 +414,28 @@ def test_mxu_sampler_grad_matches_reference(rng):
     )(img, grid)
     np.testing.assert_allclose(np.asarray(g_img_m), np.asarray(g_img_r), rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(g_grid_m), np.asarray(g_grid_r), rtol=5e-2, atol=5e-1)
+
+
+def test_mxu_scatter_matches_sampling_vjp(rng):
+    """scatter_bilinear_mxu must equal the autodiff VJP of bilinear sampling."""
+    from gif_tpu.render.sampler_pallas import scatter_bilinear_mxu
+    from gif_tpu.render.sampling_ops import _tap_data
+
+    b, h, w, c = 2, 64, 64, 2
+    pts = jnp.asarray(rng.uniform(-1.2, 1.2, size=(b, 300, 2)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, 300, c)).astype(np.float32))
+
+    got = scatter_bilinear_mxu(g, pts, h, w)
+
+    # reference: dense accumulation via the tap data
+    ids, wgt, ok = _tap_data((b, h, w, c), pts)
+    ref = np.zeros((b, h * w, c), np.float32)
+    idn, wn, okn, gn = map(np.asarray, (ids, wgt, ok, g))
+    for bi in range(b):
+        for pi in range(300):
+            for t in range(4):
+                if okn[bi, pi, t]:
+                    ref[bi, idn[bi, pi, t]] += wn[bi, pi, t] * gn[bi, pi]
+    np.testing.assert_allclose(
+        np.asarray(got), ref.reshape(b, h, w, c), rtol=2e-2, atol=2e-2
+    )
