@@ -8,7 +8,11 @@ the orthographic camera and eye-centering solver.
 """
 
 from gif_tpu.flame.resources import FlameResources, load_flame_resources
-from gif_tpu.flame.decoder import flame_decode, flame_decode_landmarks
+from gif_tpu.flame.decoder import (
+    flame_decode,
+    flame_decode_full,
+    flame_decode_landmarks,
+)
 from gif_tpu.flame.camera import batch_orth_proj, position_to_given_location
 from gif_tpu.flame.mesh import vertex_normals, face_vertices, face_normals
 
@@ -16,6 +20,7 @@ __all__ = [
     "FlameResources",
     "load_flame_resources",
     "flame_decode",
+    "flame_decode_full",
     "flame_decode_landmarks",
     "batch_orth_proj",
     "position_to_given_location",

@@ -138,3 +138,69 @@ def flame_decode_landmarks(res, verts: jnp.ndarray):
     tri = faces[lmk_faces]  # (L, 3) vertex ids
     corner = verts[:, tri]  # (B, L, 3, 3)
     return jnp.einsum("blcd,lc->bld", corner, lmk_bary)
+
+
+def _dynamic_contour_bucket(pose_params, neck_pose, dtype):
+    """Yaw bucket index per FLAME's _find_dynamic_lmk_idx_and_bcoords.
+
+    The head yaw is read off the composed neck-chain rotation
+    (neck @ global); buckets are 1-degree steps, clamped to +/-39, laid out
+    [0..39] for yaw >= 0 and [40..78] for yaw in [-1, -39].
+    """
+    b = pose_params.shape[0]
+    rot_global = rodrigues(pose_params[:, :3])
+    rot_neck = rodrigues(neck_pose)
+    rel = rot_neck @ rot_global  # neck kinematic chain [neck, root]
+    # rot_mat_to_euler: yaw = atan2(-R[2,0], sqrt(R[0,0]^2 + R[1,0]^2))
+    yaw = jnp.arctan2(
+        -rel[:, 2, 0], jnp.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)
+    )
+    deg = jnp.round(jnp.clip(-yaw * (180.0 / np.pi), a_max=39.0)).astype(jnp.int32)
+    neg = deg < 0
+    below = deg < -39
+    neg_vals = jnp.where(below, 78, 39 - deg)
+    return jnp.where(neg, neg_vals, deg)  # (B,) in [0, 78]
+
+
+def flame_decode_full(
+    res,
+    shape_params: jnp.ndarray,
+    expression_params: jnp.ndarray,
+    pose_params: jnp.ndarray,
+    neck_pose: jnp.ndarray | None = None,
+    eye_pose: jnp.ndarray | None = None,
+):
+    """The full reference FLAME call contract:
+    ``flame(shape, exp, pose) -> (verts, lmk2d, lmk3d)``
+    (my_utils/eye_centering.py:38-39, tests/test_eye_positioning.py:63).
+
+    ``lmk3d`` is the static 68-point embedding; ``lmk2d`` replaces its 17
+    jawline points with the yaw-dependent dynamic contour (the set used for
+    2-D image fitting / the paper's DECA re-inference metric,
+    tests/deca_inf_vs_given_cond_landmark_viz.py:40-80).  Both are 3-D
+    model-space points; callers project them with the camera.
+    """
+    b = shape_params.shape[0]
+    if neck_pose is None:
+        neck_pose = jnp.zeros((b, 3), shape_params.dtype)
+    verts = flame_decode(
+        res, shape_params, expression_params, pose_params, neck_pose, eye_pose
+    )
+    lmk3d = flame_decode_landmarks(res, verts)
+
+    if res.dynamic_lmk_faces is None:
+        return verts, lmk3d, lmk3d
+
+    bucket = _dynamic_contour_bucket(pose_params, neck_pose, verts.dtype)
+    dyn_faces = jnp.asarray(res.dynamic_lmk_faces)[bucket]  # (B, 17)
+    dyn_bary = jnp.asarray(res.dynamic_lmk_bary, verts.dtype)[bucket]  # (B,17,3)
+    faces = jnp.asarray(res.faces)
+    tri = faces[dyn_faces]  # (B, 17, 3) vertex ids
+
+    def one(v, t):  # (V, 3), (17, 3) -> (17, 3, 3)
+        return v[t]
+
+    corner = jax.vmap(one)(verts, tri)  # (B, 17, 3, 3)
+    contour = jnp.einsum("blcd,blc->bld", corner, dyn_bary)
+    lmk2d = jnp.concatenate([contour, lmk3d[:, 17:]], axis=1)
+    return verts, lmk2d, lmk3d

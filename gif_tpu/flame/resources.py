@@ -43,8 +43,10 @@ class FlameResources:
       lbs_weights:   (v, 5)
       faces:         (f, 3) int32
       uv_coords:     (v, 2) in [0, 1]  (per-vertex UV)
-      lmk_faces:     (51 or 68,) int32
+      lmk_faces:     (51 or 68,) int32   static landmark embedding
       lmk_bary:      (51 or 68, 3)
+      dynamic_lmk_faces / dynamic_lmk_bary: (79, 17) / (79, 17, 3) —
+        yaw-bucketed jawline contour (see field comment)
       tex_mean:      (tex_res, tex_res, 3)   0..255 scale
       tex_dirs:      (tex_res, tex_res, 3, 50)
       texture_x_coords / texture_y_coords / texture_valid_pixel_ids /
@@ -74,6 +76,14 @@ class FlameResources:
     texture_valid_faces: np.ndarray
     texture_valid_bary: np.ndarray
     face_region_mask: np.ndarray | None = None  # None -> treated as all-ones
+    # Dynamic-contour landmark embedding (FLAME landmark_embedding.npy):
+    # the 17 jawline points of the 68-landmark set are re-selected by head
+    # yaw in 1-degree buckets over [-39, 39] (79 rows).  None -> the
+    # dynamic set degrades to the static jawline (synthetic resources ship
+    # plausible tables).  Reference contract: FLAME() returns
+    # (verts, lmk2d, lmk3d) (my_utils/eye_centering.py:38-39).
+    dynamic_lmk_faces: np.ndarray | None = None  # (79, 17) int32
+    dynamic_lmk_bary: np.ndarray | None = None  # (79, 17, 3)
     parents: np.ndarray = dataclasses.field(default_factory=lambda: PARENTS.copy())
     is_synthetic: bool = False
 
@@ -171,6 +181,13 @@ def synthetic_flame_resources(seed: int = 0, n_vertices: int = N_VERTICES) -> Fl
     n_lmk = 68
     lmk_faces = rng.integers(0, faces.shape[0], size=n_lmk).astype(np.int32)
     lb = rng.dirichlet(np.ones(3), size=n_lmk).astype(np.float32)
+    dyn_faces = rng.integers(0, faces.shape[0], size=(79, 17)).astype(np.int32)
+    # Bucket 0 (yaw 0 under the FLAME convention) equals the static
+    # jawline so the frontal case is consistent between the 2d and 3d
+    # landmark sets.
+    dyn_faces[0] = lmk_faces[:17]
+    dyn_bary = rng.dirichlet(np.ones(3), size=(79, 17)).astype(np.float32)
+    dyn_bary[0] = lb[:17]
 
     # Texture PCA, 0..255 scale like FLAME_texture.npz.
     yy, xx = np.meshgrid(
@@ -209,6 +226,8 @@ def synthetic_flame_resources(seed: int = 0, n_vertices: int = N_VERTICES) -> Fl
         uv_coords=uv,
         lmk_faces=lmk_faces,
         lmk_bary=lb,
+        dynamic_lmk_faces=dyn_faces,
+        dynamic_lmk_bary=dyn_bary,
         tex_mean=tex_mean,
         tex_dirs=tex_dirs,
         texture_x_coords=vx,

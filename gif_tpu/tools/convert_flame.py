@@ -99,6 +99,21 @@ def convert(
     res_kwargs["lmk_bary"] = np.asarray(
         lmk["static_lmk_bary_coords"], np.float32
     ).reshape(-1, 3)
+    if "dynamic_lmk_faces_idx" in lmk:
+        res_kwargs["dynamic_lmk_faces"] = np.asarray(
+            lmk["dynamic_lmk_faces_idx"], np.int32
+        )
+        res_kwargs["dynamic_lmk_bary"] = np.asarray(
+            lmk["dynamic_lmk_bary_coords"], np.float32
+        )
+    if "full_lmk_faces_idx" in lmk:
+        # Prefer the full 68-point embedding when the file carries one.
+        res_kwargs["lmk_faces"] = np.asarray(
+            lmk["full_lmk_faces_idx"], np.int32
+        ).reshape(-1)
+        res_kwargs["lmk_bary"] = np.asarray(
+            lmk["full_lmk_bary_coords"], np.float32
+        ).reshape(-1, 3)
 
     td = np.load(texdata_file, allow_pickle=True, encoding="latin1").item()
     res_kwargs["texture_x_coords"] = np.asarray(td["x_coords"], np.int64)

@@ -236,3 +236,47 @@ def test_load_face_region_mask_png(tmp_path):
     m = load_face_region_mask(p)
     assert m.shape == (8, 8) and m.dtype == np.float32
     assert m[3, 3] == 1.0 and m[0, 0] == 0.0
+
+
+def test_flame_decode_full_contract():
+    """(verts, lmk2d, lmk3d) contract with yaw-dependent dynamic contour."""
+    from gif_tpu.flame.decoder import flame_decode_full, flame_decode_landmarks
+
+    res = synthetic_flame_resources()
+    b = 3
+    shape = jnp.zeros((b, 100))
+    exp = jnp.zeros((b, 50))
+    pose = jnp.zeros((b, 6))
+    verts, lmk2d, lmk3d = flame_decode_full(res, shape, exp, pose)
+    assert verts.shape == (b, res.n_vertices, 3)
+    assert lmk2d.shape == (b, 68, 3) and lmk3d.shape == (b, 68, 3)
+    np.testing.assert_allclose(
+        np.asarray(lmk3d), np.asarray(flame_decode_landmarks(res, verts)), rtol=1e-6
+    )
+    # Frontal pose: bucket 39 tables equal the static jawline by
+    # construction -> lmk2d == lmk3d.
+    np.testing.assert_allclose(np.asarray(lmk2d), np.asarray(lmk3d), rtol=1e-5, atol=1e-6)
+
+    # A yawed head selects a different contour bucket -> jawline changes,
+    # the 51 static points still match the static embedding.
+    pose_yaw = pose.at[:, 1].set(0.35)  # ~20 degrees about y
+    verts_y, lmk2d_y, lmk3d_y = flame_decode_full(res, shape, exp, pose_yaw)
+    np.testing.assert_allclose(
+        np.asarray(lmk2d_y[:, 17:]), np.asarray(lmk3d_y[:, 17:]), rtol=1e-5, atol=1e-6
+    )
+    assert np.abs(np.asarray(lmk2d_y[:, :17]) - np.asarray(lmk3d_y[:, :17])).max() > 1e-4
+
+
+def test_dynamic_contour_bucket_mapping():
+    from gif_tpu.flame.decoder import _dynamic_contour_bucket
+
+    b = 5
+    neck = jnp.zeros((b, 3))
+    # yaw buckets: the FLAME convention maps -deg(yaw) clamped to 39,
+    # negatives to [40..78].
+    import numpy as _np
+
+    for deg, expect in [(0.0, 0), (-10.0, 10), (-45.0, 39), (10.0, 40 + 9), (45.0, 78)]:
+        pose = jnp.zeros((b, 6)).at[:, 1].set(_np.deg2rad(deg))
+        got = _np.asarray(_dynamic_contour_bucket(pose, neck, jnp.float32))
+        assert (got == expect).all(), (deg, got, expect)
