@@ -49,6 +49,32 @@ def build_variation_rows(base: np.ndarray, sigma: float = 3.0):
     return rows
 
 
+def load_flame_variation_dir(directory: str):
+    """Externally-fit +/-3sigma FLAME variations from shape/exp/pose npz
+    subdirectories (reference generate_teaser_photo_gt.py:17-28): each npz
+    holds shape_params/exp_params/pose_params; camera is appended as zeros
+    and re-solved by the sampler's eye centering."""
+    import glob as _glob
+
+    rows = []
+    for child in ("exp", "pose", "shape"):
+        for f in sorted(_glob.glob(os.path.join(directory, child, "*.npz"))):
+            vals = np.load(f, allow_pickle=True)
+            p159 = np.hstack(
+                [
+                    np.asarray(vals["shape_params"]).reshape(-1)[:100],
+                    np.asarray(vals["exp_params"]).reshape(-1)[:50],
+                    np.asarray(vals["pose_params"]).reshape(-1)[:6],
+                    np.zeros(3),
+                ]
+            ).astype(np.float32)
+            name = os.path.basename(f).split(".")[0] + "_" + child
+            rows.append((name, p159))
+    if not rows:
+        raise SystemExit(f"no npz variations under {directory}")
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--run_id", type=int, default=0)
@@ -56,6 +82,11 @@ def main():
     p.add_argument("--converted_ckpt", type=str, default=None)
     p.add_argument("--flame_resources", type=str, default=None)
     p.add_argument("--n_identities", type=int, default=4)
+    p.add_argument("--flame_npz_dir", type=str, default=None,
+                   help="directory of shape/ exp/ pose/ subdirs of npz FLAME "
+                        "fit variations (photo-GT teaser, reference "
+                        "plots/teaser/generate_teaser_photo_gt.py:17-28); "
+                        "replaces the synthetic axis sweeps")
     p.add_argument("--out_dir", type=str, default="teaser_out")
     p.add_argument("--steal_textures", action="store_true")
     p.add_argument("--vocab", type=int, default=69158)
@@ -75,10 +106,21 @@ def main():
     g_params, buffers = load_params(args, cfg)
     sampler = FlameSampler(cfg, res, g_params, buffers, batch_size=8)
 
+    ext_rows = None
+    if args.flame_npz_dir:
+        ext_rows = load_flame_variation_dir(args.flame_npz_dir)
+
     rng = np.random.default_rng(args.seed)
     for ident in range(args.n_identities):
         base = random_flame_params(rng, 1)[0]
-        rows = build_variation_rows(base)
+        if ext_rows is not None:
+            rows = []
+            for name, p159 in ext_rows:
+                v = base.copy()
+                v[:159] = p159[:159]
+                rows.append((name, v))
+        else:
+            rows = build_variation_rows(base)
         flame = np.stack([r[1] for r in rows])
         idx = np.full(len(rows), rng.integers(0, args.vocab), np.int32)
         images, conds = sampler.sample(flame, idx)

@@ -68,3 +68,77 @@ def test_teaser_rows():
     # Every row differs from the base except 'mean'.
     for name, v in rows[1:]:
         assert not np.array_equal(v, base), name
+
+
+def test_voca_sequence_and_grid_helpers(tmp_path):
+    from scripts.voca_animation import load_voca_sequence, assemble_grid_frame
+
+    seq = load_voca_sequence(None, 24, seed=0)
+    assert seq.shape == (24, 236)
+    assert np.abs(seq[:, 153]).max() > 0  # jaw moves
+
+    # VOCA-format npz round trip (reference :38-49 layout)
+    npz = tmp_path / "voca.npz"
+    np.savez(
+        npz,
+        frame_pose_params=np.random.default_rng(0).standard_normal((7, 9)).astype(np.float32),
+        frame_exp_params=np.zeros((7, 50), np.float32),
+        seq_shape_params=np.arange(100, dtype=np.float32),
+    )
+    seq2 = load_voca_sequence(str(npz), 0, 0)
+    assert seq2.shape == (7, 236)
+    assert (seq2[:, 3:100] == 0).all()  # shape components 3+ zeroed
+    assert (seq2[0, 0:3] == [0, 1, 2]).all()
+
+    cells = [np.full((8, 8, 3), i, np.uint8) for i in range(10)]
+    frame = assemble_grid_frame(cells, n_col=5, pad=2)
+    assert frame.shape == (18, 48, 3)
+    assert frame[0, 0, 0] == 0 and frame[10, 0, 0] == 5
+
+
+def test_stitch_grid():
+    from scripts.make_image_grid import stitch
+
+    imgs = [np.full((4, 4, 3), i, np.uint8) for i in range(6)]
+    out = stitch(imgs, n_row=2, n_col=3)
+    assert out.shape == (8, 12, 3)
+    assert out[0, 0, 0] == 0 and out[4, 4, 0] == 4
+
+
+def test_teaser_sweep_sequence():
+    from scripts.animate_teaser import build_sweep_sequence
+
+    base = np.zeros(236, np.float32)
+    seq = build_sweep_sequence(base, sigma=2.0, steps=8)
+    assert seq.shape == (7 * 8, 236)
+    assert np.abs(seq[:8, 0]).max() > 1.9  # first segment sweeps shape[0]
+    assert seq[32:40, 153].max() > 0.25  # jaw segment opens the jaw
+
+
+def test_mturk_csv_and_scoring(tmp_path):
+    from scripts.mturk_results import (
+        comparison_rows,
+        score_comparison,
+        likert_modal_scores,
+        LIKERT,
+    )
+
+    rng = np.random.default_rng(2)
+    rows, swapped = comparison_rows(["a.png", "b.png", "c.png"], "u/", rng)
+    assert len(rows) == 3 and set(rows[0]) == {"GT", "OPTION1", "OPTION2"}
+    for r, sw in zip(rows, swapped):
+        assert ("model_a" in r["OPTION2"]) == sw
+
+    # perfect rater: always picks the model_a side
+    results = [
+        {"OPTION1": r["OPTION1"], "answer1": "1" if "model_a" in r["OPTION1"] else "0"}
+        for r in rows
+    ]
+    assert score_comparison(results) == 1.0
+
+    lik = [
+        {"image_url": "u/3_x.png", "label": LIKERT[4]},
+        {"image_url": "u/3_y.png", "label": LIKERT[4]},
+        {"image_url": "u/5_x.png", "label": LIKERT[0]},
+    ]
+    assert likert_modal_scores(lik) == {"3": 5, "5": 1}
