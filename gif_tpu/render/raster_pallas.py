@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gif_tpu.render.raster import BIG_DEPTH, RasterOutput, _front_facing
 
-_CHUNK = 128  # candidate slots per inner loop iteration
+_CHUNK = 256  # candidate slots per inner loop iteration (tuned on v5e)
 _BLOCK = 32  # faces per binning chunk / per gathered slice
 _COLS = 32  # 9 affine coeffs + valid + gid + 15 attrs + pad
 _LANE = 128
