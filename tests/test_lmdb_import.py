@@ -1,0 +1,108 @@
+"""LMDB importer test against a stubbed ``lmdb`` module.
+
+The real ``lmdb`` package is not installed here (VERDICT r1, 2.5), so the
+importer is exercised end-to-end with a minimal fake environment that
+reproduces the reference's key schema (``f'{res}-{idx:05d}'`` JPEG values +
+a ``length`` key, prepare_lmdb/prepare_ffhq_multiscale_dataset.py) — the
+importer's logic (key iteration, decode, FLAME vector assembly, bad-image
+passthrough, npz layout) is what's under test, not libmdb itself.
+"""
+
+import io
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+class _FakeTxn:
+    def __init__(self, store):
+        self._store = store
+
+    def get(self, key):
+        return self._store[key]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeEnv:
+    def __init__(self, store):
+        self._store = store
+
+    def begin(self, write=False):
+        return _FakeTxn(self._store)
+
+
+def _fake_lmdb_module(store):
+    mod = types.ModuleType("lmdb")
+    mod.open = lambda path, **kw: _FakeEnv(store)
+    return mod
+
+
+def test_import_ffhq_lmdb_with_stub(tmp_path, monkeypatch):
+    from PIL import Image
+
+    res = 32
+    n = 4
+    rng = np.random.default_rng(0)
+    store = {b"length": str(n).encode()}
+    truth = []
+    for i in range(n):
+        arr = rng.integers(0, 255, (res, res, 3), dtype=np.uint8)
+        truth.append(arr)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")  # lossless for equality
+        store[f"{res}-{str(i).zfill(5)}".encode()] = buf.getvalue()
+
+    params = np.array(
+        [
+            {
+                "shape": rng.standard_normal(100),
+                "exp": rng.standard_normal(50),
+                "pose": rng.standard_normal(6),
+                "cam": rng.standard_normal(3),
+                "tex": rng.standard_normal(50),
+                "lit": rng.standard_normal((9, 3)),
+            }
+            for _ in range(n)
+        ],
+        dtype=object,
+    )
+    params_file = tmp_path / "flame.npy"
+    np.save(params_file, params, allow_pickle=True)
+
+    bad_file = tmp_path / "bad.npz"
+    np.savez(bad_file, bad_images=np.asarray([2]))
+
+    monkeypatch.setitem(sys.modules, "lmdb", _fake_lmdb_module(store))
+    from gif_tpu.data.lmdb_import import import_ffhq_lmdb
+
+    out = import_ffhq_lmdb(
+        "ignored",
+        str(params_file),
+        str(tmp_path / "out"),
+        resolution=res,
+        bad_images_file=str(bad_file),
+    )
+    data = np.load(out)
+    assert data["flame_params"].shape == (n, 236)
+    assert data["bad_images"].tolist() == [2]
+    imgs = np.load(str(data["images_path"]))
+    assert imgs.shape == (n, res, res, 3)
+    np.testing.assert_array_equal(imgs[1], truth[1])
+    # FLAME vector layout [shape|exp|pose|cam|tex|lit] (dataset_loaders.py:306-310)
+    np.testing.assert_allclose(
+        data["flame_params"][0, :100],
+        np.asarray(params[0]["shape"], np.float32),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        data["flame_params"][0, 209:236],
+        np.asarray(params[0]["lit"], np.float32).reshape(-1),
+        rtol=1e-6,
+    )
