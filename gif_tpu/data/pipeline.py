@@ -179,8 +179,23 @@ def data_iterator(
     stop = threading.Event()
 
     def producer():
+        consecutive_failures = 0
         while not stop.is_set():
-            batch = dataset.sample_batch(rng, batch_size)
+            # Failure recovery (reference train.py:112-116 recreates its
+            # DataLoader on OSError/StopIteration): a transient read error
+            # skips the batch and resamples instead of killing the thread
+            # and hanging the training loop; persistent failure re-raises
+            # through the queue so the loop surfaces the real error.
+            try:
+                batch = dataset.sample_batch(rng, batch_size)
+                consecutive_failures = 0
+            except Exception as e:  # noqa: BLE001 - deliberate broad retry
+                consecutive_failures += 1
+                if consecutive_failures >= 10:
+                    q.put(e)
+                    return
+                print(f"data pipeline: batch failed ({e!r}); resampling")
+                continue
             while not stop.is_set():
                 try:
                     q.put(batch, timeout=0.5)
@@ -192,6 +207,9 @@ def data_iterator(
     t.start()
     try:
         while True:
-            yield q.get()
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
     finally:
         stop.set()

@@ -115,3 +115,38 @@ def test_crop_batch_zeroes_label_and_shifts_image():
     # crop-zeroed labels never reach the FID accumulator
     ds.accumulate_batches_of_flm(batch["flame"])
     assert not ds._flm_buffer
+
+
+def test_data_iterator_recovers_from_transient_failures():
+    """A flaky sample_batch must not kill the prefetch thread (reference
+    train.py:112-116 recreates its loader on transient errors)."""
+    from gif_tpu.data.pipeline import data_iterator
+
+    class Flaky:
+        def __init__(self):
+            self.calls = 0
+
+        def sample_batch(self, rng, bs):
+            self.calls += 1
+            if self.calls % 2 == 1:
+                raise OSError("transient")
+            return {"x": np.full((bs,), self.calls)}
+
+    ds = Flaky()
+    it = data_iterator(ds, 2)
+    got = [next(it)["x"][0] for _ in range(3)]
+    assert all(v % 2 == 0 for v in got)
+
+
+def test_data_iterator_surfaces_persistent_failure():
+    from gif_tpu.data.pipeline import data_iterator
+
+    class Dead:
+        def sample_batch(self, rng, bs):
+            raise OSError("disk gone")
+
+    it = data_iterator(Dead(), 2)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="disk gone"):
+        next(it)
