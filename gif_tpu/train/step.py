@@ -180,9 +180,17 @@ def make_train_step(
         # ------------------------------------------------------------------
         # D update (train.py:82-178)
         # ------------------------------------------------------------------
-        fake_images = lax.stop_gradient(
-            g_apply(state.g_params, state.buffers, cond, indices)
+        # The fakes D scores here are ALSO the G adversarial forward: G is
+        # deterministic and its params don't change until the G update, so
+        # value and VJP residuals are kept and reused in the first G
+        # iteration below.  (The reference runs the forward twice,
+        # train.py:157,203, with identical values; XLA's CSE usually merges
+        # the duplicate already — the explicit vjp makes the sharing
+        # guaranteed rather than compiler-dependent.)
+        fake_images_live, g_fwd_vjp = jax.vjp(
+            lambda p: g_apply(p, state.buffers, cond, indices), state.g_params
         )
+        fake_images = lax.stop_gradient(fake_images_live)
         if cfg.shfld_cond_as_neg_smpl:
             # Shuffled conditions as extra negatives (train.py:161-167):
             # the same fakes paired with deranged conditions must score low.
@@ -221,11 +229,15 @@ def make_train_step(
         # 181-193 — fractional values train G int(1/n) times per D step,
         # integer values > 1 train G only every n-th step.
         # ------------------------------------------------------------------
-        def g_loss_fn(g_params, pl_mean_in, rng_pl, rng_interp):
-            fake = g_apply(g_params, state.buffers, cond, indices)
-            scores = d_apply(d_params, fake, cond)
-            loss = L.g_ns_loss(scores)
-            aux = {"g_adv": loss}
+        def g_adv_loss(fake):
+            return L.g_ns_loss(d_apply(d_params, fake, cond))
+
+        def g_loss_terms(g_params, pl_mean_in, rng_pl, rng_interp, g_adv):
+            """All G-loss terms except the adversarial one (whose forward
+            may be reused from the D phase); ``g_adv`` only scales the
+            adaptive interpolation loss."""
+            loss = jnp.float32(0.0)
+            aux = {"g_adv": g_adv}
 
             pl_mean = pl_mean_in
             if cfg.gen_reg_type.lower() == "path_len_reg":
@@ -298,11 +310,28 @@ def make_train_step(
             aux["pl_mean"] = pl_mean
             return loss, aux
 
-        def g_update(g_params, g_opt_state, ema, pl_mean_in, rng_i):
+        def g_loss_fn(g_params, pl_mean_in, rng_pl, rng_interp):
+            fake = g_apply(g_params, state.buffers, cond, indices)
+            g_adv = g_adv_loss(fake)
+            rest, aux = g_loss_terms(g_params, pl_mean_in, rng_pl, rng_interp, g_adv)
+            return g_adv + rest, aux
+
+        def g_update(g_params, g_opt_state, ema, pl_mean_in, rng_i, reuse_fwd):
             rng_pl_i, rng_int_i = jax.random.split(rng_i)
-            (g_total, g_aux), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True
-            )(g_params, pl_mean_in, rng_pl_i, rng_int_i)
+            if reuse_fwd:
+                # g_params == state.g_params here: chain the adversarial
+                # gradient through the saved D-phase forward.
+                g_adv, dfake = jax.value_and_grad(g_adv_loss)(fake_images_live)
+                (adv_grads,) = g_fwd_vjp(dfake)
+                (rest, g_aux), rest_grads = jax.value_and_grad(
+                    g_loss_terms, has_aux=True
+                )(g_params, pl_mean_in, rng_pl_i, rng_int_i, g_adv)
+                g_total = g_adv + rest
+                g_grads = jax.tree_util.tree_map(jnp.add, adv_grads, rest_grads)
+            else:
+                (g_total, g_aux), g_grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True
+                )(g_params, pl_mean_in, rng_pl_i, rng_int_i)
             if mesh is not None:
                 g_grads = lax.pmean(g_grads, "data")
             g_updates, g_opt_state = g_tx.update(g_grads, g_opt_state, g_params)
@@ -337,14 +366,14 @@ def make_train_step(
             g_aux = zero_aux
             for it in range(g_iters):
                 *carry, g_total, g_aux = g_update(
-                    *carry, jax.random.fold_in(rng_g, it)
+                    *carry, jax.random.fold_in(rng_g, it), it == 0
                 )
                 carry = tuple(carry)
         else:
             do_g = (state.step + 1) % g_interval == 0
 
             def run(c):
-                *c2, gt, ga = g_update(*c, rng_g)
+                *c2, gt, ga = g_update(*c, rng_g, True)
                 return tuple(c2), gt, ga
 
             def skip(c):

@@ -191,3 +191,46 @@ def test_step_with_flip_and_crop_batch():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert int(new_state.step) == 1
+
+
+def test_reused_forward_matches_recompute():
+    """The D-phase forward reuse must give the same adversarial gradient as
+    a full recompute (the identity the step relies on: G is deterministic
+    and its params are unchanged until the G update)."""
+    from gif_tpu.train.state import build_models
+    from gif_tpu.train import losses as L
+
+    cfg = tiny_config()
+    res = synthetic_flame_resources(seed=1, n_vertices=503)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg, 2)
+    gen, disc = build_models(cfg)
+
+    cond = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (2, cfg.max_size, cfg.max_size, 6)
+        ),
+        jnp.float32,
+    )
+    idx = jnp.asarray([0, 1], jnp.int32)
+
+    def gfwd(p):
+        return gen.apply(
+            {"params": p, "buffers": state.buffers},
+            cond,
+            input_indices=idx,
+            step=cfg.max_step,
+        )
+
+    def adv(fake):
+        return jnp.mean(
+            jax.nn.softplus(-disc.apply({"params": state.d_params}, fake, cond))
+        )
+
+    fake, vjp = jax.vjp(gfwd, state.g_params)
+    (g_reuse,) = vjp(jax.grad(adv)(fake))
+    g_full = jax.grad(lambda p: adv(gfwd(p)))(state.g_params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_reuse), jax.tree_util.tree_leaves(g_full)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
