@@ -32,12 +32,21 @@ class FlameSampler:
         buffers,
         batch_size: int = 16,
         eye_center: bool = True,
-        max_tris_per_tile: int = 512,
+        max_tris_per_tile: int | None = None,
         w_truncation_factor: float = 1.0,
     ):
         self.cfg = cfg
         self.res = res
         self.batch_size = batch_size
+        if max_tris_per_tile is None:
+            # Mesh-derived capacity, same policy as make_train_step — a
+            # fixed cap silently drops triangles for dense meshes or big
+            # camera scales.
+            from gif_tpu.render.raster import auto_max_tris_per_tile
+
+            max_tris_per_tile = auto_max_tris_per_tile(
+                res.faces.shape[0], (cfg.render_image_size // 32) ** 2
+            )
         gen, _ = build_models(cfg, w_truncation_factor=w_truncation_factor)
         if abs(w_truncation_factor - 1.0) > 0.01:
             # Precompute the mean latent over the identity table

@@ -150,7 +150,9 @@ def _dynamic_contour_bucket(pose_params, neck_pose, dtype):
     b = pose_params.shape[0]
     rot_global = rodrigues(pose_params[:, :3])
     rot_neck = rodrigues(neck_pose)
-    rel = rot_neck @ rot_global  # neck kinematic chain [neck, root]
+    # Chain composed parent-first (FLAME walks [neck, root] with
+    # rel = R_i @ rel, ending at R_global @ R_neck — the world rotation).
+    rel = rot_global @ rot_neck
     # rot_mat_to_euler: yaw = atan2(-R[2,0], sqrt(R[0,0]^2 + R[1,0]^2))
     yaw = jnp.arctan2(
         -rel[:, 2, 0], jnp.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)

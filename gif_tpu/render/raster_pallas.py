@@ -162,7 +162,9 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
         flat_attrs = face_attrs.reshape(b, f, -1).astype(jnp.float32)
         used += flat_attrs.shape[-1]
         parts.append(flat_attrs)
-    assert used <= _COLS, "candidate payload exceeds the column budget"
+    # The zdenom output slot rides in the pad columns: the payload must
+    # stay clear of it, not just of the 32-column budget.
+    assert used <= _C_ZD, "candidate payload collides with the zdenom slot"
     parts.append(jnp.zeros((b, f, _COLS - used), jnp.float32))
     tab = jnp.concatenate(parts, axis=-1)
     if f_pad != f:
@@ -207,6 +209,17 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     gather_img = jax.vmap(gather_tile, in_axes=(None, 0))  # over T
     cand = jax.vmap(gather_img)(tab, ids)  # (B, T, MC, _BLOCK, 32)
     cand = cand.reshape(b, n_tiles, mc * _BLOCK, _COLS)
+
+    # Re-centre each tile's affine constants on its own origin so the
+    # kernel evaluates with LOCAL pixel coordinates: c' = a*tx0 + b*ty0 + c.
+    # Local coords (< tile <= 256) are exact in bf16 — the kernel's hi/lo
+    # precision scheme would otherwise break for image sizes above 256 —
+    # and the smaller constants carry less cancellation everywhere.
+    tx0 = jnp.tile(tx, n_ty)[None, :, None]  # (1, T, 1) tile origin x
+    ty0 = jnp.repeat(ty, n_tx)[None, :, None]
+    for base in (_C_AU, _C_AV, _C_AZ):
+        shift = cand[..., base] * tx0 + cand[..., base + 1] * ty0
+        cand = cand.at[..., base + 2].add(shift)
     # The kernel's inner loop reads _CHUNK-slot blocks: keep K a multiple.
     k_pad = (-cand.shape[2]) % _CHUNK
     if k_pad:
@@ -220,7 +233,6 @@ def _raster_group_kernel(
     bestd_ref,  # (1, TG, P, 32) winner payload row (+ zdenom at _C_ZD)
     *,
     tile: int,
-    n_tx: int,
     tiles_per_step: int,
 ):
     b = pl.program_id(0)
@@ -235,16 +247,14 @@ def _raster_group_kernel(
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (p, _COLS), 1)
 
     def tile_body(tl, _):
-        t = tg * tiles_per_step + tl  # global tile id
+        t = tg * tiles_per_step + tl  # global tile id (counts lookup)
         count = counts_ref[b, t]
-        tyi = t // n_tx
-        txi = t % n_tx
-        px = (txi * tile).astype(jnp.float32) + lx  # (P, 1)
-        py = (tyi * tile).astype(jnp.float32) + ly
-        # P matrix [px, py, 1] without any concatenation.
+        # P matrix [lx, ly, 1] without any concatenation.  LOCAL pixel
+        # coordinates: the candidate constants were re-centred per tile on
+        # the XLA side, and locals (< tile) are exact in bf16.
         pmat = jnp.where(
-            lane3 == 0, px, jnp.where(lane3 == 1, py, 1.0)
-        ).astype(jnp.bfloat16)  # (P, 3); integer coords — exact in bf16
+            lane3 == 0, lx, jnp.where(lane3 == 1, ly, 1.0)
+        ).astype(jnp.bfloat16)  # (P, 3)
         ones_p = jnp.ones((p, 1), jnp.bfloat16)
 
         def ab_t(a_bf, bmat):  # a (P, d) @ bmat (K, d)^T -> (P, K), MXU
@@ -381,7 +391,6 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     kernel = functools.partial(
         _raster_group_kernel,
         tile=tile,
-        n_tx=n_tx,
         tiles_per_step=tiles_per_step,
     )
     tg4 = lambda bi, gi, *_: (bi, gi, 0, 0)
@@ -408,8 +417,9 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     depth = jnp.where(hit, 1.0 / jnp.where(hit, zd_img, 1.0), BIG_DEPTH)
     tri = jnp.where(hit, d_img[..., _C_GID].astype(jnp.int32), -1)
 
-    px = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    py = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    # The payload's constants are tile-recentred: decode with LOCAL coords.
+    px = (jnp.arange(w) % tile).astype(jnp.float32)[None, None, :]
+    py = (jnp.arange(h) % tile).astype(jnp.float32)[None, :, None]
 
     def affine(base):
         return (

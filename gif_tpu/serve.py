@@ -76,6 +76,10 @@ class GifServer:
         flame = np.asarray(flame, np.float32).reshape(-1)
         if flame.shape[0] != 236:
             raise ValueError(f"flame must have 236 dims, got {flame.shape[0]}")
+        vocab = self.cfg.embedding_vocab_size
+        if not 0 <= int(identity) < vocab:
+            # XLA's gather would silently clamp out-of-range indices.
+            raise ValueError(f"identity must be in [0, {vocab}), got {identity}")
         p = _Pending(flame, int(identity))
         self.queue.put(p)
         p.event.wait()

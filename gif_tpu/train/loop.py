@@ -93,7 +93,11 @@ def train(
     start = int(state.step)
     for i in range(start, total_iters):
         batch_np = next(it)
-        dataset.accumulate_batches_of_flm(batch_np["flame"])
+        # Accumulate the TRUE fits for FID conditioning: augmented labels
+        # are crop-zeroed / flip-sentineled and would starve the buffer.
+        dataset.accumulate_batches_of_flm(
+            batch_np.get("flame_render", batch_np["flame"])
+        )
         if mesh is not None:
             batch = shard_batch(batch_np, mesh)
         else:

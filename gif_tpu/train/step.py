@@ -91,6 +91,23 @@ def render_condition_maps(
     return cond
 
 
+def apply_condition_augment(cond, batch):
+    """Give rendered condition maps the same pixel transform the real image
+    received: flip FIRST, then crop (pipeline.sample_batch flips inside
+    assemble_batch and crops after — a flip and a column shift do not
+    commute, so the order matters for flipped samples with nonzero column
+    crops)."""
+    if "flip" in batch:
+        cond = jnp.where(
+            batch["flip"][:, None, None, None], cond[:, :, ::-1, :], cond
+        )
+    if "crop" in batch:
+        from gif_tpu.data.augment import same_padding_crop_jax
+
+        cond = same_padding_crop_jax(cond, batch["crop"])
+    return cond
+
+
 def make_train_step(
     cfg: TrainConfig,
     res,
@@ -165,14 +182,7 @@ def make_train_step(
                 max_tris_per_tile,
                 return_overflow=True,
             )
-            if "crop" in batch:
-                from gif_tpu.data.augment import same_padding_crop_jax
-
-                cond = same_padding_crop_jax(cond, batch["crop"])
-            if "flip" in batch:
-                cond = jnp.where(
-                    batch["flip"][:, None, None, None], cond[:, :, ::-1, :], cond
-                )
+            cond = apply_condition_augment(cond, batch)
         else:
             cond = batch["cond"]
             render_overflow = jnp.zeros((real.shape[0],), bool)

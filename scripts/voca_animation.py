@@ -60,17 +60,12 @@ def load_voca_sequence(path: str | None, n_frames: int, seed: int) -> np.ndarray
 
 
 def assemble_grid_frame(cell_images, n_col: int = 5, pad: int = 4) -> np.ndarray:
-    """Tile HxWx3 uint8 cells row-major with black padding
-    (make_animation_grid.py:23-38)."""
-    h, w = cell_images[0].shape[:2]
+    """Tile cells row-major with black padding (make_animation_grid.py:23-38);
+    shares make_image_grid.stitch."""
+    from scripts.make_image_grid import stitch
+
     n_row = int(np.ceil(len(cell_images) / n_col))
-    frame = np.zeros(
-        (n_row * h + (n_row - 1) * pad, n_col * w + (n_col - 1) * pad, 3), np.uint8
-    )
-    for i, img in enumerate(cell_images):
-        r, c = (i // n_col) * (h + pad), (i % n_col) * (w + pad)
-        frame[r : r + h, c : c + w] = img
-    return frame
+    return stitch(cell_images, n_row, n_col, pad)
 
 
 def main():

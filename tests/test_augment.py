@@ -150,3 +150,26 @@ def test_data_iterator_surfaces_persistent_failure():
 
     with _pytest.raises(OSError, match="disk gone"):
         next(it)
+
+
+def test_condition_augment_matches_image_pipeline_order():
+    """The step's condition transform must equal the pipeline's image
+    transform: crop(flip(x)), not flip(crop(x))."""
+    import jax.numpy as jnp
+    from gif_tpu.train.step import apply_condition_augment
+    from gif_tpu.data.augment import same_padding_crop
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    crops = np.asarray([[1, 3], [-2, 2]], np.int64)
+    flips = np.asarray([True, False])
+
+    expected = []
+    for b in range(2):
+        img = x[b, :, ::-1] if flips[b] else x[b]
+        expected.append(same_padding_crop(img, int(crops[b, 0]), int(crops[b, 1])))
+
+    got = apply_condition_augment(
+        jnp.asarray(x), {"flip": jnp.asarray(flips), "crop": jnp.asarray(crops)}
+    )
+    np.testing.assert_allclose(np.asarray(got), np.stack(expected), rtol=1e-6)
