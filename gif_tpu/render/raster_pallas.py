@@ -209,17 +209,6 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     gather_img = jax.vmap(gather_tile, in_axes=(None, 0))  # over T
     cand = jax.vmap(gather_img)(tab, ids)  # (B, T, MC, _BLOCK, 32)
     cand = cand.reshape(b, n_tiles, mc * _BLOCK, _COLS)
-
-    # Re-centre each tile's affine constants on its own origin so the
-    # kernel evaluates with LOCAL pixel coordinates: c' = a*tx0 + b*ty0 + c.
-    # Local coords (< tile <= 256) are exact in bf16 — the kernel's hi/lo
-    # precision scheme would otherwise break for image sizes above 256 —
-    # and the smaller constants carry less cancellation everywhere.
-    tx0 = jnp.tile(tx, n_ty)[None, :, None]  # (1, T, 1) tile origin x
-    ty0 = jnp.repeat(ty, n_tx)[None, :, None]
-    for base in (_C_AU, _C_AV, _C_AZ):
-        shift = cand[..., base] * tx0 + cand[..., base + 1] * ty0
-        cand = cand.at[..., base + 2].add(shift)
     # The kernel's inner loop reads _CHUNK-slot blocks: keep K a multiple.
     k_pad = (-cand.shape[2]) % _CHUNK
     if k_pad:
@@ -233,6 +222,7 @@ def _raster_group_kernel(
     bestd_ref,  # (1, TG, P, 32) winner payload row (+ zdenom at _C_ZD)
     *,
     tile: int,
+    n_tx: int,
     tiles_per_step: int,
 ):
     b = pl.program_id(0)
@@ -249,41 +239,55 @@ def _raster_group_kernel(
     def tile_body(tl, _):
         t = tg * tiles_per_step + tl  # global tile id (counts lookup)
         count = counts_ref[b, t]
-        # P matrix [lx, ly, 1] without any concatenation.  LOCAL pixel
-        # coordinates: the candidate constants were re-centred per tile on
-        # the XLA side, and locals (< tile) are exact in bf16.
+        # Affine evaluation splits global pixel coords into LOCAL coords
+        # (< tile, exact in bf16 at any image size) plus the tile ORIGIN
+        # (a multiple of the tile edge — also exact in bf16), evaluated as
+        # one extra (1, 3) dot whose (1, K) result broadcasts over pixels.
         pmat = jnp.where(
             lane3 == 0, lx, jnp.where(lane3 == 1, ly, 1.0)
-        ).astype(jnp.bfloat16)  # (P, 3)
+        ).astype(jnp.bfloat16)  # (P, 3) with the constant column
+        tyi = (t // n_tx) * tile
+        txi = (t % n_tx) * tile
+        lane3_row = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        omat = jnp.where(
+            lane3_row == 0,
+            txi.astype(jnp.float32),
+            jnp.where(lane3_row == 1, tyi.astype(jnp.float32), 0.0),
+        ).astype(jnp.bfloat16)  # (1, 3), no constant column
         ones_p = jnp.ones((p, 1), jnp.bfloat16)
 
-        def ab_t(a_bf, bmat):  # a (P, d) @ bmat (K, d)^T -> (P, K), MXU
-            # The TPU MXU truncates f32 operands to bf16 at DEFAULT
-            # precision, which corrupts the O(100) affine constants enough
-            # to flip inside tests on ~15% of pixels; 6-pass HIGHEST costs
-            # ~16 ms/step.  The left operand (integer pixel coords / ones)
-            # is EXACT in bf16, so two DEFAULT dots against the right
-            # operand's bf16 high/low halves give 16-bit-mantissa accuracy
-            # at full MXU rate.
+        def ab_t(a_bf, bmat, omat_bf=None):
+            # a (P, d) @ bmat (K, d)^T -> (P, K) on the MXU.  The TPU MXU
+            # truncates f32 operands to bf16 at DEFAULT precision, which
+            # corrupts the O(100) affine constants enough to flip inside
+            # tests on ~15% of pixels; 6-pass HIGHEST costs ~16 ms/step.
+            # The left operands (integer pixel coords / tile origins /
+            # ones) are EXACT in bf16, so two DEFAULT dots against the
+            # right operand's bf16 high/low halves give 16-bit-mantissa
+            # accuracy at full MXU rate.  With ``omat_bf`` the per-tile
+            # origin contribution is added as a broadcast (1, K) row.
             b_hi = bmat.astype(jnp.bfloat16)
             b_lo = (bmat - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            def one(mat):
+            def one(lhs, mat):
                 return lax.dot_general(
-                    a_bf,
+                    lhs,
                     mat,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
 
-            return one(b_hi) + one(b_lo)
+            out = one(a_bf, b_hi) + one(a_bf, b_lo)
+            if omat_bf is not None:
+                out = out + (one(omat_bf, b_hi) + one(omat_bf, b_lo))
+            return out
 
         def chunk_body(ci, carry):
             s = ci * _CHUNK
             blk = cand_ref[0, tl, pl.ds(s, _CHUNK), :]  # (CK, 32)
-            u = ab_t(pmat, blk[:, _C_AU : _C_AU + 3])  # (P, CK)
-            v = ab_t(pmat, blk[:, _C_AV : _C_AV + 3])
-            zd = ab_t(pmat, blk[:, _C_AZ : _C_AZ + 3])
+            u = ab_t(pmat, blk[:, _C_AU : _C_AU + 3], omat)  # (P, CK)
+            v = ab_t(pmat, blk[:, _C_AV : _C_AV + 3], omat)
+            zd = ab_t(pmat, blk[:, _C_AZ : _C_AZ + 3], omat)
             # Outer products broadcast per-candidate scalars to all pixels.
             valid = ab_t(ones_p, blk[:, _C_VALID : _C_VALID + 1])
             gid = ab_t(ones_p, blk[:, _C_GID : _C_GID + 1])
@@ -391,6 +395,7 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     kernel = functools.partial(
         _raster_group_kernel,
         tile=tile,
+        n_tx=n_tx,
         tiles_per_step=tiles_per_step,
     )
     tg4 = lambda bi, gi, *_: (bi, gi, 0, 0)
@@ -417,9 +422,8 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     depth = jnp.where(hit, 1.0 / jnp.where(hit, zd_img, 1.0), BIG_DEPTH)
     tri = jnp.where(hit, d_img[..., _C_GID].astype(jnp.int32), -1)
 
-    # The payload's constants are tile-recentred: decode with LOCAL coords.
-    px = (jnp.arange(w) % tile).astype(jnp.float32)[None, None, :]
-    py = (jnp.arange(h) % tile).astype(jnp.float32)[None, :, None]
+    px = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    py = jnp.arange(h, dtype=jnp.float32)[None, :, None]
 
     def affine(base):
         return (
