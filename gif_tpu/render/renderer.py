@@ -15,7 +15,6 @@ inside the training step — eliminating the reference's LMDB render precompute
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
