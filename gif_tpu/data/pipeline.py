@@ -192,7 +192,12 @@ def data_iterator(
             except Exception as e:  # noqa: BLE001 - deliberate broad retry
                 consecutive_failures += 1
                 if consecutive_failures >= 10:
-                    q.put(e)
+                    while not stop.is_set():
+                        try:
+                            q.put(e, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
                     return
                 print(f"data pipeline: batch failed ({e!r}); resampling")
                 continue

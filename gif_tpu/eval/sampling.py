@@ -21,6 +21,29 @@ from gif_tpu.train.state import build_models
 from gif_tpu.train.step import render_condition_maps
 
 
+def load_generator_params(cfg, ckpt: str | None = None,
+                          converted_ckpt: str | None = None):
+    """(g_ema_params, buffers) from an Orbax run checkpoint or a converted
+    reference pickle (gif_tpu.tools.convert_checkpoint); fresh init when
+    neither is given (smoke runs)."""
+    import jax
+
+    from gif_tpu.train.state import create_train_state
+    from gif_tpu.train.checkpoint import CheckpointManager
+
+    if converted_ckpt:
+        import pickle
+
+        with open(converted_ckpt, "rb") as f:
+            trees = pickle.load(f)
+        return trees["g_ema_params"], trees["buffers"]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    if ckpt:
+        mgr = CheckpointManager(ckpt)
+        state = mgr.restore(state)
+    return state.g_ema_params, state.buffers
+
+
 class FlameSampler:
     """generator(flame_params_236, indices) -> images, batched."""
 
@@ -38,15 +61,8 @@ class FlameSampler:
         self.cfg = cfg
         self.res = res
         self.batch_size = batch_size
-        if max_tris_per_tile is None:
-            # Mesh-derived capacity, same policy as make_train_step — a
-            # fixed cap silently drops triangles for dense meshes or big
-            # camera scales.
-            from gif_tpu.render.raster import auto_max_tris_per_tile
-
-            max_tris_per_tile = auto_max_tris_per_tile(
-                res.faces.shape[0], (cfg.render_image_size // 32) ** 2
-            )
+        # max_tris_per_tile=None flows to the renderer's mesh-derived
+        # auto-sizing (same policy as the train step).
         gen, _ = build_models(cfg, w_truncation_factor=w_truncation_factor)
         if abs(w_truncation_factor - 1.0) > 0.01:
             # Precompute the mean latent over the identity table

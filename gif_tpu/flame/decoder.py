@@ -143,8 +143,8 @@ def flame_decode_landmarks(res, verts: jnp.ndarray):
 def _dynamic_contour_bucket(pose_params, neck_pose, dtype):
     """Yaw bucket index per FLAME's _find_dynamic_lmk_idx_and_bcoords.
 
-    The head yaw is read off the composed neck-chain rotation
-    (neck @ global); buckets are 1-degree steps, clamped to +/-39, laid out
+    The head yaw is read off the composed neck-chain world rotation
+    (R_global @ R_neck); buckets are 1-degree steps, clamped to +/-39, laid out
     [0..39] for yaw >= 0 and [40..78] for yaw in [-1, -39].
     """
     b = pose_params.shape[0]

@@ -80,6 +80,8 @@ class GifServer:
         if not 0 <= int(identity) < vocab:
             # XLA's gather would silently clamp out-of-range indices.
             raise ValueError(f"identity must be in [0, {vocab}), got {identity}")
+        if self._stop.is_set():
+            raise RuntimeError("server is shutting down")
         p = _Pending(flame, int(identity))
         self.queue.put(p)
         p.event.wait()
@@ -109,10 +111,8 @@ class GifServer:
             n = len(batch)
             flame = np.stack([p.flame for p in batch])
             idx = np.asarray([p.identity for p in batch], np.int32)
-            if n < self.batch_size:  # pad, never recompile
-                pad = self.batch_size - n
-                flame = np.concatenate([flame, np.repeat(flame[-1:], pad, 0)])
-                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            # FlameSampler.sample pads partial batches itself (repeat-last)
+            # so the fixed-batch program never recompiles.
             try:
                 images, _ = self.sampler.sample(flame, idx)
                 imgs_u8 = (
@@ -130,6 +130,14 @@ class GifServer:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=2)
+        # Fail anything still queued so no caller blocks forever.
+        while True:
+            try:
+                p = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            p.error = RuntimeError("server is shutting down")
+            p.event.set()
 
 
 def make_handler(server: GifServer):
@@ -178,7 +186,9 @@ def make_handler(server: GifServer):
                 self.wfile.write(body)
             except Exception as e:  # noqa: BLE001
                 msg = json.dumps({"error": str(e)}).encode()
-                self.send_response(400)
+                # Caller errors are 400; device/internal failures are 500
+                # so clients and load balancers retry/alert correctly.
+                self.send_response(400 if isinstance(e, ValueError) else 500)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(msg)))
                 self.end_headers()
@@ -199,17 +209,15 @@ def main():
     p.add_argument("--vocab", type=int, default=69158)
     args = p.parse_args()
 
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from gif_tpu.train import get_config
     from gif_tpu.flame.resources import load_flame_resources
-    from scripts.generate_random_samples import load_params
+    from gif_tpu.eval.sampling import load_generator_params
 
     cfg = get_config(args.run_id, embedding_vocab_size=args.vocab)
     res = load_flame_resources(args.flame_resources)
-    g_params, buffers = load_params(args, cfg)
+    g_params, buffers = load_generator_params(
+        cfg, ckpt=args.ckpt, converted_ckpt=args.converted_ckpt
+    )
     server = GifServer(
         cfg, res, g_params, buffers, args.batch_size, args.max_wait_ms
     )

@@ -150,7 +150,7 @@ def texture_interpolation_loss(
     max_ids: int = 1,
     face_region_mask: jnp.ndarray | None = None,
     image_size: int = 256,
-    max_tris_per_tile: int = 512,
+    max_tris_per_tile: int | None = None,
 ):
     """Texture must be invariant to FLAME articulation (losses.py:160-236).
 

@@ -39,7 +39,7 @@ def render_condition_maps(
     res,
     flame_params: jnp.ndarray,
     cfg: TrainConfig,
-    max_tris_per_tile: int = 512,
+    max_tris_per_tile: int | None = None,
     return_overflow: bool = False,
 ):
     """FLAME 236-d params -> quantized [-1, 1] condition maps, on device.
@@ -131,15 +131,10 @@ def make_train_step(
     gen, disc = build_models(cfg)
     g_tx, d_tx = make_optimizers(cfg)
     step_idx = cfg.max_step if step_res is None else step_res
-    if max_tris_per_tile is None:
-        # Mesh-derived capacity: the fixed 512 default silently dropped
-        # triangles for dense meshes / big camera scales (the overflow now
-        # also shows in the render_overflow metric).
-        from gif_tpu.render.raster import auto_max_tris_per_tile
-
-        max_tris_per_tile = auto_max_tris_per_tile(
-            res.faces.shape[0], (cfg.render_image_size // 32) ** 2
-        )
+    # max_tris_per_tile=None flows through to the renderer, which owns the
+    # mesh-derived auto-sizing (the fixed 512 default silently dropped
+    # triangles for dense meshes / big camera scales; overflow shows in
+    # the render_overflow metric).
     if face_region_mask is None:
         # Texture-space face-only mask shipped with the FLAME resources
         # (reference losses.py:132-134, constants.py:48).
@@ -190,17 +185,33 @@ def make_train_step(
         # ------------------------------------------------------------------
         # D update (train.py:82-178)
         # ------------------------------------------------------------------
+        nc = cfg.n_critic
+        if nc >= 1:
+            g_interval, g_iters = int(round(nc)), 1
+        else:
+            g_interval, g_iters = 1, int(round(1.0 / nc))
+
         # The fakes D scores here are ALSO the G adversarial forward: G is
         # deterministic and its params don't change until the G update, so
         # value and VJP residuals are kept and reused in the first G
         # iteration below.  (The reference runs the forward twice,
         # train.py:157,203, with identical values; XLA's CSE usually merges
         # the duplicate already — the explicit vjp makes the sharing
-        # guaranteed rather than compiler-dependent.)
-        fake_images_live, g_fwd_vjp = jax.vjp(
-            lambda p: g_apply(p, state.buffers, cond, indices), state.g_params
-        )
-        fake_images = lax.stop_gradient(fake_images_live)
+        # guaranteed rather than compiler-dependent.)  When G only trains
+        # every n-th step the residuals would be carried through the D
+        # update for nothing on skipped steps — use a plain detached
+        # forward there and let the G branch recompute.
+        if g_interval == 1:
+            fake_images_live, g_fwd_vjp = jax.vjp(
+                lambda p: g_apply(p, state.buffers, cond, indices),
+                state.g_params,
+            )
+            fake_images = lax.stop_gradient(fake_images_live)
+        else:
+            fake_images_live = g_fwd_vjp = None
+            fake_images = lax.stop_gradient(
+                g_apply(state.g_params, state.buffers, cond, indices)
+            )
         if cfg.shfld_cond_as_neg_smpl:
             # Shuffled conditions as extra negatives (train.py:161-167):
             # the same fakes paired with deranged conditions must score low.
@@ -353,12 +364,6 @@ def make_train_step(
             )
             return g_params, g_opt_state, ema, g_aux["pl_mean"], g_total, g_aux
 
-        nc = cfg.n_critic
-        if nc >= 1:
-            g_interval, g_iters = int(round(nc)), 1
-        else:
-            g_interval, g_iters = 1, int(round(1.0 / nc))
-
         zero_aux = {"g_adv": jnp.float32(0.0), "pl_mean": state.pl_mean}
         if cfg.gen_reg_type.lower() == "path_len_reg":
             zero_aux["ppl"] = jnp.float32(0.0)
@@ -383,7 +388,7 @@ def make_train_step(
             do_g = (state.step + 1) % g_interval == 0
 
             def run(c):
-                *c2, gt, ga = g_update(*c, rng_g, True)
+                *c2, gt, ga = g_update(*c, rng_g, False)
                 return tuple(c2), gt, ga
 
             def skip(c):

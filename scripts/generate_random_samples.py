@@ -20,23 +20,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def load_params(args, cfg):
-    """Params either from an Orbax run checkpoint or a converted reference
-    pickle (gif_tpu.tools.convert_checkpoint)."""
-    import jax
-    from gif_tpu.train.state import create_train_state
-    from gif_tpu.train.checkpoint import CheckpointManager
+    """CLI-arg adapter over gif_tpu.eval.sampling.load_generator_params."""
+    from gif_tpu.eval.sampling import load_generator_params
 
-    if args.converted_ckpt:
-        import pickle
-
-        with open(args.converted_ckpt, "rb") as f:
-            trees = pickle.load(f)
-        return trees["g_ema_params"], trees["buffers"]
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
-    if args.ckpt:
-        mgr = CheckpointManager(args.ckpt)
-        state = mgr.restore(state)
-    return state.g_ema_params, state.buffers
+    return load_generator_params(
+        cfg, ckpt=args.ckpt, converted_ckpt=args.converted_ckpt
+    )
 
 
 def main():
