@@ -142,3 +142,25 @@ def test_mturk_csv_and_scoring(tmp_path):
         {"image_url": "u/5_x.png", "label": LIKERT[0]},
     ]
     assert likert_modal_scores(lik) == {"3": 5, "5": 1}
+
+
+def test_landmark_projection_and_overlay():
+    from scripts.landmark_overlay import project_landmarks, draw_points
+    from gif_tpu.flame.resources import synthetic_flame_resources
+    from gif_tpu.flame.camera import position_to_given_location
+    import jax.numpy as jnp
+
+    res = synthetic_flame_resources(seed=1, n_vertices=503)
+    rng = np.random.default_rng(0)
+    flame = np.zeros((2, 236), np.float32)
+    flame[:, :100] = rng.standard_normal((2, 100)) * 0.1
+    flame = np.asarray(position_to_given_location(res, jnp.asarray(flame)))
+    pts = project_landmarks(res, flame, 64)
+    assert pts.shape == (2, 68, 2)
+    # Eye-centred cameras put landmarks on screen.
+    on = ((pts >= 0) & (pts < 64)).all(-1).mean()
+    assert on > 0.5
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = draw_points(img, pts[0])
+    assert (out[..., 1] == 255).any() and (img == 0).all()
