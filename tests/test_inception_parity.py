@@ -212,6 +212,10 @@ def _randomize(model: nn.Module, seed: int = 0):
                 m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
 
 
+def test_fid_inception_pool3_parity():
+    """Random-weight torch FID-Inception -> converter -> flax net: pool3
+    features must agree (pins conv layouts, BN folding, pad semantics, the
+    FID pool variants)."""
     torch_net = TorchFIDInception().eval()
     _randomize(torch_net)
     sd = {k: v.detach().numpy() for k, v in torch_net.state_dict().items()}
