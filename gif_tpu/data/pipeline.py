@@ -168,26 +168,42 @@ def load_packed_dataset(path: str, **kwargs) -> FlameDataset:
 def data_iterator(
     dataset: FlameDataset,
     batch_size: int,
-    seed: int = 0,
+    seed=0,
     prefetch: int = 2,
+    start_step: int = 0,
 ) -> Iterator[dict]:
     """Infinite prefetching iterator (replaces the 16-worker torch DataLoader,
     dataset_loaders.py:390-397) — a daemon thread keeps ``prefetch`` batches
-    ready so host assembly overlaps device compute."""
-    rng = np.random.default_rng(seed)
+    ready so host assembly overlaps device compute.
+
+    Batches are COUNTER-BASED: batch ``i`` is drawn from a fresh
+    ``default_rng([*seed, i])`` stream, so a run resumed at step ``s``
+    (``start_step=s``) sees exactly the batches an uninterrupted run saw
+    from step ``s`` on — deterministic resume by construction (the
+    reference restarts its DataLoader stream on resume, train.py:112-116).
+    ``seed`` may be an int or a sequence of ints (e.g. (run_id,
+    process_index) for per-host streams in multi-process training).
+    """
+    seed_seq = [int(seed)] if np.isscalar(seed) else [int(s) for s in seed]
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
     def producer():
         consecutive_failures = 0
+        step = start_step
         while not stop.is_set():
             # Failure recovery (reference train.py:112-116 recreates its
             # DataLoader on OSError/StopIteration): a transient read error
-            # skips the batch and resamples instead of killing the thread
-            # and hanging the training loop; persistent failure re-raises
-            # through the queue so the loop surfaces the real error.
+            # retries the batch (fresh attempt-folded stream) instead of
+            # killing the thread and hanging the training loop; persistent
+            # failure re-raises through the queue so the loop surfaces the
+            # real error.
             try:
+                rng = np.random.default_rng(
+                    seed_seq + [step, consecutive_failures]
+                )
                 batch = dataset.sample_batch(rng, batch_size)
+                step += 1
                 consecutive_failures = 0
             except Exception as e:  # noqa: BLE001 - deliberate broad retry
                 consecutive_failures += 1

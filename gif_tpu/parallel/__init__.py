@@ -2,9 +2,22 @@
 
 from gif_tpu.parallel.mesh import (
     create_mesh,
+    host_local_tree,
+    initialize_distributed,
+    is_main_process,
+    local_data_parallel_mesh,
+    process_count,
     replicate,
     shard_batch,
-    local_data_parallel_mesh,
 )
 
-__all__ = ["create_mesh", "replicate", "shard_batch", "local_data_parallel_mesh"]
+__all__ = [
+    "create_mesh",
+    "host_local_tree",
+    "initialize_distributed",
+    "is_main_process",
+    "local_data_parallel_mesh",
+    "process_count",
+    "replicate",
+    "shard_batch",
+]

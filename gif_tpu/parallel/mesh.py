@@ -1,11 +1,22 @@
-"""Mesh construction and placement helpers.
+"""Mesh construction and placement helpers (single- and multi-process).
 
 The GIF workload is a 256px conv GAN whose parameters fit on one chip, so
 the primary scaling axis is the batch: a 1-D ``data`` mesh with replicated
 parameters and `lax.pmean` gradient all-reduce over ICI (the TPU-native
-equivalent of the reference's ``nn.DataParallel`` — SURVEY.md §5.8).  The
-helpers also accept multi-host device sets: ``jax.distributed.initialize``
-before calling :func:`create_mesh` and the same code spans slices over DCN.
+equivalent of the reference's ``nn.DataParallel`` wrapping at
+train.py:344 — SURVEY.md §5.8).
+
+Multi-host (DCN) support — what is actually wired and tested:
+:func:`initialize_distributed` wraps ``jax.distributed.initialize``;
+:func:`create_mesh` then builds the mesh over the GLOBAL device set,
+:func:`shard_batch` assembles a global batch from per-process local
+shards via ``jax.make_array_from_process_local_data``, and the training
+loop guards checkpoint/metrics/FID/viz to process 0.  This path is
+exercised end to end by ``tests/test_multiprocess.py`` — two JAX
+processes x four virtual CPU devices each, gloo collectives, running the
+real sharded train step and the real :func:`gif_tpu.train.loop.train`
+loop.  Real-pod DCN execution is the same program with the TPU plugin
+supplying the cross-slice transport.
 """
 
 from __future__ import annotations
@@ -17,10 +28,43 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join (or create) the multi-process JAX runtime.
+
+    On TPU pods all three arguments are auto-detected from the environment
+    (call with no arguments); for CPU/GPU multi-process runs pass them
+    explicitly.  Safe to call once per process, before any other JAX API.
+    The reference analog is the implicit single-host ``nn.DataParallel``
+    boundary (train.py:344); here the same train step spans hosts.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    """True on the process that owns checkpoints / metrics / FID / viz."""
+    return jax.process_index() == 0
+
+
 def create_mesh(
     n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
 ) -> Mesh:
-    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    """1-D mesh over the first ``n_devices`` GLOBAL devices (default: all).
+
+    Under ``jax.distributed`` this spans every process's devices; each
+    process must pass the same arguments (SPMD).
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
@@ -28,18 +72,57 @@ def create_mesh(
 
 
 def local_data_parallel_mesh() -> Optional[Mesh]:
-    """All local devices as a data mesh, or None on a single device."""
+    """All (global) devices as a data mesh, or None on a single device."""
     if len(jax.devices()) <= 1:
         return None
     return create_mesh()
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh."""
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    """Place a pytree fully replicated on the mesh.
+
+    Multi-process: every process must pass the SAME host values (e.g. from
+    a deterministic init or a restored checkpoint) — the global array is
+    assembled from each process's local copy via
+    ``jax.make_array_from_callback`` (no cross-host transfer), the SPMD
+    convention for replicated parameters.
+    """
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+
+        def _rep(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
+            )
+
+        return jax.tree.map(_rep, tree)
+    return jax.device_put(tree, sharding)
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Shard every array in ``batch`` along its leading axis."""
+    """Batch dict of host arrays -> global arrays sharded along axis 0.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process: each
+    process passes its LOCAL slice of the batch (local_batch = global /
+    process_count) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the TPU-native replacement
+    for the reference DataLoader feeding one host (train.py:356-358).
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def host_local_tree(tree):
+    """Fully-replicated global pytree -> host numpy pytree.
+
+    Valid on every process (replicated arrays are addressable everywhere);
+    used to hand replicated state to process-local consumers (Orbax save on
+    process 0, the eval sampler) without a cross-process collective.
+    """
+    return jax.tree.map(lambda x: np.asarray(x), tree)

@@ -67,30 +67,53 @@ def train(
             "(dataset_loaders.py:314-327) that the texture-interpolation "
             "loss consumes; disable the augmentation or the loss"
         )
+    from gif_tpu.parallel import host_local_tree, replicate, shard_batch
+
+    # Multi-process (multi-host / DCN) layout: every process runs this same
+    # loop SPMD; each feeds its LOCAL slice of the global batch and only
+    # process 0 owns checkpoints, metrics, FID, and figures (the TPU-native
+    # mapping of the reference's single-host DataParallel boundary,
+    # train.py:344,356-358; exercised by tests/test_multiprocess.py).
+    nproc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if cfg.batch_size % nproc:
+        raise ValueError(
+            f"global batch {cfg.batch_size} not divisible by "
+            f"{nproc} processes"
+        )
+    local_bs = cfg.batch_size // nproc
+
     run_dir = os.path.join(out_dir, str(cfg.run_id))
     ckpt = CheckpointManager(
         os.path.join(run_dir, "checkpoint"), save_every=cfg.checkpoint_every
     )
-    logger = MetricsLogger(os.path.join(run_dir, "metrics.csv"))
-    viz = VisualizationSaver(run_dir, cfg.run_id)
+    logger = MetricsLogger(os.path.join(run_dir, "metrics.csv")) if is_main else None
+    viz = VisualizationSaver(run_dir, cfg.run_id) if is_main else None
 
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.run_id))
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
-        print(f"restored checkpoint at step {int(state.step)}")
-
-    from gif_tpu.parallel import replicate, shard_batch
+        if is_main:
+            print(f"restored checkpoint at step {int(state.step)}")
 
     step_fn = make_train_step(cfg, res, mesh=mesh, donate=True)
     if mesh is not None:
         state = replicate(state, mesh)
 
-    it = data_iterator(dataset, cfg.batch_size, seed=cfg.run_id)
+    start = int(state.step)
+    # Counter-based batches + start_step make a resumed run replay exactly
+    # the uninterrupted stream (tests/test_loop.py); the process index in
+    # the seed gives each host an independent stream.
+    it = data_iterator(
+        dataset,
+        local_bs,
+        seed=(cfg.run_id, jax.process_index()),
+        start_step=start,
+    )
     rng_key = jax.random.PRNGKey(1234 + cfg.run_id)
     fid = float("nan")
     t_last = time.perf_counter()
 
-    start = int(state.step)
     for i in range(start, total_iters):
         batch_np = next(it)
         # Accumulate the TRUE fits for FID conditioning: augmented labels
@@ -105,7 +128,7 @@ def train(
 
         state, metrics = step_fn(state, batch, jax.random.fold_in(rng_key, i))
 
-        if (i + 1) % log_every == 0:
+        if (i + 1) % log_every == 0 and is_main:
             m = {k: float(v) for k, v in metrics.items()}
             dt = time.perf_counter() - t_last
             t_last = time.perf_counter()
@@ -119,30 +142,48 @@ def train(
 
         if (i + 1) % cfg.fid_every == 0 and fid_computer is not None:
             flame_10k, idx_10k = dataset.get_10k_flame_params()
+            if nproc > 1:
+                # Host-side allgather (SURVEY §5.8): pool every process's
+                # accumulated TRUE fits so the FID conditioning protocol
+                # sees the global stream, then evaluate on process 0 only.
+                from gif_tpu.parallel.collectives import allgather_rows
+
+                flame_10k, idx_10k = allgather_rows(
+                    (flame_10k, idx_10k), max_rows=fid_n_samples
+                )
             flame_10k = flame_10k[:fid_n_samples]
             idx_10k = idx_10k[: len(flame_10k)]
-            sampler = FlameSampler(
-                cfg, res, state.g_ema_params, state.buffers,
-                batch_size=min(cfg.batch_size, 16), eye_center=False,
-            )
-            images, _ = sampler.sample(flame_10k, idx_10k)
-            # Real stats: cached per resolution (compute_fid.py:26-46); on a
-            # cache miss they come from up to 50k real frames like the
-            # reference protocol (compute_fid.py:42).  The uint8 frames are
-            # passed as-is (mem-mapped) and scaled per batch inside the
-            # Inception sweep, so the 50k pass never materializes in f32.
-            fid = fid_computer.get_fid(
-                images, real_images01=dataset.images[:fid_real_samples]
-            )
-            if viz.flame_params is None:
-                viz.set_flame_params(flame_10k[:50], idx_10k[:50])
-            viz.save_samples(
-                i,
-                lambda f, ix: sampler.sample(f, ix)[0],
-                resolution=cfg.max_size,
-                fid=fid,
-            )
+            if is_main:
+                # Replicated EMA params are addressable on this host; pull
+                # them local so sampling stays collective-free while the
+                # other processes wait at the next step's all-reduce.
+                sampler = FlameSampler(
+                    cfg, res,
+                    host_local_tree(state.g_ema_params),
+                    host_local_tree(state.buffers),
+                    batch_size=min(cfg.batch_size, 16), eye_center=False,
+                )
+                images, _ = sampler.sample(flame_10k, idx_10k)
+                # Real stats: cached per resolution (compute_fid.py:26-46);
+                # on a cache miss they come from up to 50k real frames like
+                # the reference protocol (compute_fid.py:42).  The uint8
+                # frames are passed as-is (mem-mapped) and scaled per batch
+                # inside the Inception sweep, so the 50k pass never
+                # materializes in f32.
+                fid = fid_computer.get_fid(
+                    images, real_images01=dataset.images[:fid_real_samples]
+                )
+                if viz.flame_params is None:
+                    viz.set_flame_params(flame_10k[:50], idx_10k[:50])
+                viz.save_samples(
+                    i,
+                    lambda f, ix: sampler.sample(f, ix)[0],
+                    resolution=cfg.max_size,
+                    fid=fid,
+                )
 
+        # Orbax is multihost-native: every process participates (its manager
+        # runs internal sync barriers) and the primary host does the writes.
         ckpt.maybe_save(state)
 
     ckpt.save(state)

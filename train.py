@@ -29,7 +29,23 @@ def main():
     p.add_argument("--no_mesh", action="store_true", help="single device")
     p.add_argument("--debug", action="store_true",
                    help="tiny synthetic setup for smoke testing")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the multi-process JAX runtime (TPU pods: "
+                        "auto-detected; reference analog: the DataParallel "
+                        "boundary at train.py:344)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address for explicit multi-process "
+                        "runs (host:port)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
+
+    if args.multihost or args.coordinator:
+        from gif_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
 
     import jax
     from jax.sharding import Mesh
@@ -81,8 +97,9 @@ def main():
         )
 
     # Architecture graph dumps at startup (reference train.py:339-342,
-    # 354-355 draws G/D graphs via graph_writer).
+    # 354-355 draws G/D graphs via graph_writer); process 0 only.
     try:
+        assert jax.process_index() == 0, "graph dumps are process-0 only"
         import jax.numpy as jnp
         from gif_tpu.train.state import build_models
         from gif_tpu.utils.graph import draw
