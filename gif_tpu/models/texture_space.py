@@ -32,7 +32,6 @@ def flame_texture_space(res, source_img: jnp.ndarray, flame_params_full: jnp.nda
       texture_img: (B, 256, 256, 3) stolen texture.
       vis_mask: (B, 256, 256, 1) bool texel visibility.
     """
-    b = source_img.shape[0]
     shape = flame_params_full[:, 0:100]
     exp = flame_params_full[:, 100:150]
     pose = flame_params_full[:, 150:156]
@@ -46,7 +45,25 @@ def flame_texture_space(res, source_img: jnp.ndarray, flame_params_full: jnp.nda
     import numpy as np
 
     vnorm = vertex_normals(trans, np.asarray(res.faces))
+    return steal_texture(res, source_img, verts, vnorm, cam)
 
+
+def steal_texture(res, source_img, verts, vnorm, cam):
+    """Core of the texture steal (reference ``compute_texture_map``,
+    stg2_generator.py:378-421), given decoded geometry: barycentric-blend
+    the valid texels' 3-D surface points and normals, project, sample the
+    source image, scatter into UV space.  Differential-tested against the
+    in-tree reference torch code on synthetic texture data
+    (tests/test_texture_space_parity.py).
+
+    Known deviation: texels outside the valid set are ZERO here; the
+    reference leaves their grid entries at (0,0) so ``grid_sample`` fills
+    them with the source-image center pixel (stg2_generator.py:404-407).
+    Both are masked by the visibility map downstream (losses.py:215-230).
+    """
+    import numpy as np
+
+    b = source_img.shape[0]
     vf = jnp.asarray(res.texture_valid_faces)  # (P, 3) vertex ids
     bw = jnp.asarray(res.texture_valid_bary, verts.dtype)  # (P, 3)
 

@@ -299,6 +299,13 @@ def make_train_step(
                 )
 
             if cfg.apply_texture_space_interpolation_loss:
+                if flame.shape[0] < 3:
+                    raise ValueError(
+                        "texture-space interpolation loss pairs interpolants "
+                        "WITHIN a data shard and needs >=3 samples per shard; "
+                        f"got per-shard batch {flame.shape[0]} — raise the "
+                        "global batch or use fewer mesh devices"
+                    )
                 flm_interp = L.interpolate_flame_batch(flame, rng_interp)
 
                 def gen_for_interp(cond_maps, idx):

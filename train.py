@@ -126,8 +126,17 @@ def main():
     n_dev = len(jax.devices())
     mesh = None
     if not args.no_mesh and n_dev > 1:
-        mesh = Mesh(np.array(jax.devices()), ("data",))
-        print(f"data-parallel mesh over {n_dev} devices")
+        # The interp loss pairs interpolants within a shard: keep >=2
+        # samples per device (shrinking the mesh beats crashing; the
+        # spare devices idle, as they would under the reference's
+        # DataParallel with a short batch).
+        min_per_shard = 3 if cfg.apply_texture_space_interpolation_loss else 1
+        use = min(n_dev, max(1, cfg.batch_size // min_per_shard))
+        while cfg.batch_size % use:  # shard_map needs even division
+            use -= 1
+        if use > 1:
+            mesh = Mesh(np.array(jax.devices()[:use]), ("data",))
+            print(f"data-parallel mesh over {use} devices")
 
     train(
         cfg,
