@@ -1,12 +1,16 @@
-"""Golden-value determinism tests.
+"""Golden-value tests against COMMITTED expected arrays.
 
 Pattern of reference tests/stg_with_known_weights.py: fixed seeds, one
 forward, compare against stored values — guards against silent numerical
-drift in the op stack across refactors.  Also the render-consistency check
-(pattern of tests/dataset_re_rendering_check.py): the condition maps the
-sampler renders must equal the ones the train step renders for the same
-parameters.
+drift in the op stack across refactors.  The expected arrays live in
+tests/golden/golden.npz; regenerate with ``python tests/golden/regen.py``
+ONLY for intentional numerical changes (see that script's header).  Also
+the render-consistency check (pattern of tests/dataset_re_rendering_
+check.py): the condition maps the sampler renders must equal the ones the
+train step renders for the same parameters.
 """
+
+import os
 
 import pytest
 import numpy as np
@@ -18,6 +22,12 @@ from gif_tpu.train import get_config
 from gif_tpu.train.step import render_condition_maps
 
 RES = synthetic_flame_resources(seed=1, n_vertices=503)
+GOLDEN = np.load(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden", "golden.npz")
+)
+# Same-platform (CPU, conftest-pinned) reruns are deterministic; the
+# tolerance absorbs cross-jax-version fusion/reassociation only.
+GOLD_TOL = dict(atol=2e-5, rtol=2e-5)
 
 
 def test_generator_golden_forward():
@@ -28,11 +38,13 @@ def test_generator_golden_forward():
     idx = jnp.asarray([1], jnp.int32)
     vars_ = gen.init(jax.random.PRNGKey(42), cond, input_indices=idx, step=2)
     out = np.asarray(gen.apply(vars_, cond, input_indices=idx, step=2))
-    # Deterministic across runs/processes for a fixed jax version.
-    fingerprint = [float(out.mean()), float(out.std()), float(out[0, 0, 0, 0])]
+    np.testing.assert_allclose(
+        out, GOLDEN["generator_forward"], **GOLD_TOL,
+        err_msg="generator forward drifted from the committed golden "
+        "(tests/golden/regen.py)",
+    )
     out2 = np.asarray(gen.apply(vars_, cond, input_indices=idx, step=2))
     np.testing.assert_array_equal(out, out2)
-    assert np.isfinite(fingerprint).all()
     # Structure: values must depend on the identity index.
     out_other = np.asarray(
         gen.apply(vars_, cond, input_indices=jnp.asarray([2], jnp.int32), step=2)
@@ -68,6 +80,13 @@ def test_render_consistency_across_entry_points():
     # Values are floor-quantized to the 8-bit grid in [-1, 1].
     vals = (np.asarray(a) + 1.0) / 2.0 * 255.0
     np.testing.assert_allclose(vals, np.round(vals), atol=1e-2)
+    # Committed golden: the full rendered maps (geometry + shading + texture
+    # + quantization all at once).
+    np.testing.assert_allclose(
+        np.asarray(a), GOLDEN["condition_maps"], **GOLD_TOL,
+        err_msg="rendered condition maps drifted from the committed golden "
+        "(tests/golden/regen.py)",
+    )
 
 
 def test_flame_decode_golden():
@@ -79,7 +98,11 @@ def test_flame_decode_golden():
     v1 = np.asarray(flame_decode(RES, shape, exp, pose))
     v2 = np.asarray(flame_decode(RES, shape, exp, pose))
     np.testing.assert_array_equal(v1, v2)
-    assert np.isfinite(v1).all()
+    np.testing.assert_allclose(
+        v1, GOLDEN["flame_verts"], **GOLD_TOL,
+        err_msg="FLAME decode drifted from the committed golden "
+        "(tests/golden/regen.py)",
+    )
     # Articulation must move vertices.
     v0 = np.asarray(flame_decode(RES, shape, exp, jnp.zeros((1, 6))))
     assert np.abs(v1 - v0).max() > 1e-4
