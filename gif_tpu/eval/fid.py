@@ -130,8 +130,28 @@ class FidComputer:
         """FID of generated images (value range [-1, 1], per the generator
         output — normalized to [0, 1] like compute_fid.py:54-57) against the
         cached/real stats."""
-        gen01 = np.clip((np.asarray(generated_m1p1) + 1.0) / 2.0, 0.0, 1.0)
-        res = gen01.shape[1]
+        return self.get_fid_streaming(
+            [np.asarray(generated_m1p1)], real_images01=real_images01
+        )
+
+    def get_fid_streaming(
+        self,
+        generated_batches_m1p1,
+        real_images01: Optional[np.ndarray] = None,
+    ) -> float:
+        """FID from an ITERATOR of generated [-1, 1] batches: each batch is
+        pushed straight through Inception and only the 2048-d pool3
+        activations are retained, so host memory stays O(batch) instead of
+        O(N images) (the materializing path held ~7.9 GB for the reference
+        10k x 256px protocol).  Numbers are identical to :meth:`get_fid` —
+        same preprocessing, same batching inside :meth:`activations`."""
+        acts, res = [], None
+        for batch in generated_batches_m1p1:
+            gen01 = np.clip((np.asarray(batch) + 1.0) / 2.0, 0.0, 1.0)
+            res = gen01.shape[1]
+            acts.append(self.activations(gen01))
+        if not acts:
+            raise ValueError("no generated batches")
+        mu_g, sig_g = activation_statistics(np.concatenate(acts, axis=0))
         mu_r, sig_r = self.real_statistics(real_images01, res)
-        mu_g, sig_g = self.statistics(gen01)
         return frechet_distance(mu_r, sig_r, mu_g, sig_g)

@@ -90,12 +90,12 @@ class FlameSampler:
         self._g_params = g_params
         self._buffers = buffers
 
-    def sample(self, flame_params: np.ndarray, indices: np.ndarray):
-        """Host-side batched driver (generic_utils.py:33-55): returns
-        (images [-1,1] (N,S,S,3), cond maps (N,S,S,C)) as numpy."""
+    def sample_batches(self, flame_params: np.ndarray, indices: np.ndarray):
+        """Yield (images [-1,1] (b,S,S,3), cond (b,S,S,C)) numpy batches —
+        the streaming driver: host memory stays O(batch) regardless of N
+        (the 10k-sample FID protocol materialized ~7.9 GB when collected)."""
         n = len(flame_params)
         bs = self.batch_size
-        imgs, conds = [], []
         for i in range(0, n, bs):
             fl = np.asarray(flame_params[i : i + bs], np.float32)
             ix = np.asarray(indices[i : i + bs], np.int32)
@@ -104,8 +104,12 @@ class FlameSampler:
                 fl = np.concatenate([fl, np.repeat(fl[-1:], pad, 0)])
                 ix = np.concatenate([ix, np.repeat(ix[-1:], pad, 0)])
             img, cond = self._fn(self._g_params, self._buffers, jnp.asarray(fl), jnp.asarray(ix))
-            imgs.append(np.asarray(img)[: bs - pad])
-            conds.append(np.asarray(cond)[: bs - pad])
+            yield np.asarray(img)[: bs - pad], np.asarray(cond)[: bs - pad]
+
+    def sample(self, flame_params: np.ndarray, indices: np.ndarray):
+        """Host-side batched driver (generic_utils.py:33-55): returns
+        (images [-1,1] (N,S,S,3), cond maps (N,S,S,C)) as numpy."""
+        imgs, conds = zip(*self.sample_batches(flame_params, indices))
         return np.concatenate(imgs), np.concatenate(conds)
 
 

@@ -163,15 +163,18 @@ def train(
                     host_local_tree(state.buffers),
                     batch_size=min(cfg.batch_size, 16), eye_center=False,
                 )
-                images, _ = sampler.sample(flame_10k, idx_10k)
-                # Real stats: cached per resolution (compute_fid.py:26-46);
-                # on a cache miss they come from up to 50k real frames like
-                # the reference protocol (compute_fid.py:42).  The uint8
-                # frames are passed as-is (mem-mapped) and scaled per batch
-                # inside the Inception sweep, so the 50k pass never
-                # materializes in f32.
-                fid = fid_computer.get_fid(
-                    images, real_images01=dataset.images[:fid_real_samples]
+                # Streamed: generated batches flow straight through
+                # Inception, keeping only 2048-d activations — host memory
+                # O(batch), not O(10k images).  Real stats: cached per
+                # resolution (compute_fid.py:26-46); on a cache miss they
+                # come from up to 50k real frames like the reference
+                # protocol (compute_fid.py:42).  The uint8 frames are
+                # passed as-is (mem-mapped) and scaled per batch inside the
+                # Inception sweep, so the 50k pass never materializes in
+                # f32 either.
+                fid = fid_computer.get_fid_streaming(
+                    (img for img, _ in sampler.sample_batches(flame_10k, idx_10k)),
+                    real_images01=dataset.images[:fid_real_samples],
                 )
                 if viz.flame_params is None:
                     viz.set_flame_params(flame_10k[:50], idx_10k[:50])

