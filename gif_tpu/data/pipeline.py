@@ -77,7 +77,11 @@ class FlameDataset:
         flip = (
             (rng.random(batch_size) < 0.5) if self.horizontal_flip else None
         )
-        imgs = assemble_batch(self.images, idx, flip)
+        # Reference order (dataset_loaders.py:314-327): crop FIRST, then
+        # flip — the asymmetric edge-fill rules do not commute.  The native
+        # fused gather+flip is only usable when no crop precedes the flip.
+        native_flip = flip if not self.random_crop else None
+        imgs = assemble_batch(self.images, idx, native_flip)
         flame = self.flame_params[idx].copy()
         batch = {
             "real_image": imgs,
@@ -86,7 +90,7 @@ class FlameDataset:
         }
         if self.random_crop or flip is not None:
             # The true fit still renders the condition maps; the step applies
-            # the same pixel transform to them that the image received.
+            # the same pixel transforms to them that the image received.
             batch["flame_render"] = flame.copy()
         if self.random_crop:
             # dataset_loaders.py:314-320: zero the label, shift image with
@@ -99,9 +103,13 @@ class FlameDataset:
             flame[:] = 0.0
             batch["crop"] = crops
         if flip is not None:
-            # dataset_loaders.py:322-327: sentinel so downstream FLAME use is
+            if native_flip is None:  # crop ran first; flip after, like the reference
+                imgs[flip] = imgs[flip, :, ::-1]
+            # dataset_loaders.py:322-325 sentinels the label for EVERY
+            # sample whenever h-flip augmentation is enabled (zero - 9999
+            # happens BEFORE the 50% coin), so downstream FLAME use is
             # loudly wrong rather than plausibly wrong.
-            flame[flip] = FLIPPED_LABEL_SENTINEL
+            flame[:] = FLIPPED_LABEL_SENTINEL
             batch["flip"] = flip
         return batch
 

@@ -84,6 +84,13 @@ class GifServer:
             raise RuntimeError("server is shutting down")
         p = _Pending(flame, int(identity))
         self.queue.put(p)
+        # Re-check after the enqueue: stop() may have drained the queue
+        # between the check above and the put, in which case nobody will
+        # ever service this request.  Failing it here races benignly with a
+        # batcher that did pick it up (event.set is idempotent; error wins).
+        if self._stop.is_set() and not p.event.is_set():
+            p.error = RuntimeError("server is shutting down")
+            p.event.set()
         p.event.wait()
         if p.error is not None:
             raise p.error

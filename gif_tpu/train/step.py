@@ -92,19 +92,19 @@ def render_condition_maps(
 
 
 def apply_condition_augment(cond, batch):
-    """Give rendered condition maps the same pixel transform the real image
-    received: flip FIRST, then crop (pipeline.sample_batch flips inside
-    assemble_batch and crops after — a flip and a column shift do not
-    commute, so the order matters for flipped samples with nonzero column
-    crops)."""
-    if "flip" in batch:
-        cond = jnp.where(
-            batch["flip"][:, None, None, None], cond[:, :, ::-1, :], cond
-        )
+    """Give rendered condition maps the same pixel transforms the real image
+    received, in the reference order: crop FIRST, then flip
+    (dataset_loaders.py:314-327 crops its pre-rendered maps before the
+    h-flip coin; the asymmetric edge-fill rules do not commute, and
+    pipeline.sample_batch applies the same order to the image)."""
     if "crop" in batch:
         from gif_tpu.data.augment import same_padding_crop_jax
 
         cond = same_padding_crop_jax(cond, batch["crop"])
+    if "flip" in batch:
+        cond = jnp.where(
+            batch["flip"][:, None, None, None], cond[:, :, ::-1, :], cond
+        )
     return cond
 
 

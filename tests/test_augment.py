@@ -83,14 +83,23 @@ def test_flip_batch_sentinel_and_accumulator_skip():
     batch = ds.sample_batch(rng, 16)
     flip = batch["flip"]
     assert flip.any() and not flip.all()  # p=0.5 over 16 rows
-    assert (batch["flame"][flip] == FLIPPED_LABEL_SENTINEL).all()
-    assert (batch["flame"][~flip][:, 0] > -9000).all()
+    # dataset_loaders.py:322-325: the label is sentineled for EVERY sample
+    # whenever h-flip augmentation is enabled (zero-9999 happens BEFORE the
+    # 50% coin), not just for the actually-flipped rows.
+    assert (batch["flame"] == FLIPPED_LABEL_SENTINEL).all()
     # true fit kept for in-step rendering
-    assert (batch["flame_render"][flip][:, 0] > -9000).all()
-    # flipped rows never reach the FID conditioning protocol
+    assert (batch["flame_render"][:, 0] > -9000).all()
+    # sentineled labels never reach the FID conditioning protocol; the loop
+    # accumulates the flame_render true fits instead (train/loop.py).
     ds.accumulate_batches_of_flm(batch["flame"])
+    try:
+        params, _ = ds.get_10k_flame_params()
+        assert len(params) == 0
+    except RuntimeError:
+        pass  # nothing accumulated is also acceptable
+    ds.accumulate_batches_of_flm(batch["flame_render"])
     params, _ = ds.get_10k_flame_params()
-    assert len(params) == int((~flip).sum())
+    assert len(params) == 16
     assert (params[:, 0] > -9000).all()
 
 
@@ -154,7 +163,9 @@ def test_data_iterator_surfaces_persistent_failure():
 
 def test_condition_augment_matches_image_pipeline_order():
     """The step's condition transform must equal the pipeline's image
-    transform: crop(flip(x)), not flip(crop(x))."""
+    transform in the REFERENCE order: flip(crop(x)), crop first
+    (dataset_loaders.py:314-327 — the orders differ because the edge-fill
+    rules are asymmetric)."""
     import jax.numpy as jnp
     from gif_tpu.train.step import apply_condition_augment
     from gif_tpu.data.augment import same_padding_crop
@@ -166,10 +177,35 @@ def test_condition_augment_matches_image_pipeline_order():
 
     expected = []
     for b in range(2):
-        img = x[b, :, ::-1] if flips[b] else x[b]
-        expected.append(same_padding_crop(img, int(crops[b, 0]), int(crops[b, 1])))
+        img = same_padding_crop(x[b], int(crops[b, 0]), int(crops[b, 1]))
+        expected.append(img[:, ::-1] if flips[b] else img)
 
     got = apply_condition_augment(
         jnp.asarray(x), {"flip": jnp.asarray(flips), "crop": jnp.asarray(crops)}
     )
     np.testing.assert_allclose(np.asarray(got), np.stack(expected), rtol=1e-6)
+    # The orders must actually differ on this case (guards the test itself).
+    wrong = same_padding_crop(x[0, :, ::-1], 1, 3)
+    assert not np.allclose(np.asarray(got)[0], wrong)
+
+
+def test_pipeline_image_order_is_crop_then_flip():
+    """sample_batch with both augs: image == flip(crop(original))."""
+    ds = SyntheticFlameDataset(n=64, size=16)
+    ds.random_crop = True
+    ds.horizontal_flip = True
+    ds.crop_max_in_px = 5
+    rng = np.random.default_rng(6)
+    batch = ds.sample_batch(rng, 16)
+
+    ds2 = SyntheticFlameDataset(n=64, size=16)
+    rng2 = np.random.default_rng(6)
+    plain = ds2.sample_batch(rng2, 16)
+
+    rows = np.nonzero(batch["flip"] & (batch["crop"][:, 1] != 0))[0]
+    assert len(rows), "seed must produce a flipped+col-cropped row"
+    for b in rows[:3]:
+        ref = same_padding_crop(
+            plain["real_image"][b], int(batch["crop"][b, 0]), int(batch["crop"][b, 1])
+        )[:, ::-1]
+        np.testing.assert_array_equal(batch["real_image"][b], ref)
