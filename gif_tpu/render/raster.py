@@ -281,3 +281,46 @@ def get_visibility(verts_ndc: jnp.ndarray, faces: jnp.ndarray, h: int, w: int):
         return vert_vis
 
     return jax.vmap(one)(out.tri_id)
+
+
+def get_visibility_z(verts_ndc: jnp.ndarray, faces: jnp.ndarray, h: int, w: int):
+    """Per-vertex visibility via a bilinear depth-buffer test (reference
+    visibility.py:62-100, ``get_visibility_z``).
+
+    A vertex is visible iff its own depth is within ``2%% of the z-range``
+    of the bilinearly sampled depth buffer at its pixel position — more
+    permissive than :func:`get_visibility` near silhouettes, since a vertex
+    can pass even when every triangle containing it lost the z-test.  The
+    reference's per-vertex host loop (visibility.py:86-99) becomes one
+    batched gather + fused elementwise pass.
+    """
+    from gif_tpu.flame.mesh import face_vertices
+
+    pix = to_pixel_space(verts_ndc, h, w)
+    fv = face_vertices(pix, faces)
+    out = rasterize(fv, h=h, w=w)  # depth: (B, H, W), BIG_DEPTH for misses
+
+    x, y, z = pix[..., 0], pix[..., 1], pix[..., 2]
+    # Reference uses a batch-global z range (visibility.py:85).
+    zrange = jnp.max(z) - jnp.min(z)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(jnp.ceil(y).astype(jnp.int32), 0, h - 1)
+    xd = x - jnp.floor(x)
+    yd = y - jnp.floor(y)
+
+    def sample(depth_b, yi, xi):  # (H, W), (V,), (V,) -> (V,)
+        return depth_b[yi, xi]
+
+    ul = jax.vmap(sample)(out.depth, y0, x0)
+    ur = jax.vmap(sample)(out.depth, y0, x1)
+    dl = jax.vmap(sample)(out.depth, y1, x0)
+    dr = jax.vmap(sample)(out.depth, y1, x1)
+    depth = (
+        ul * (1 - xd) * (1 - yd)
+        + ur * xd * (1 - yd)
+        + dl * (1 - xd) * yd
+        + dr * xd * yd
+    )
+    return (z < depth + zrange * 0.02).astype(jnp.float32)

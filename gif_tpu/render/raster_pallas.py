@@ -156,7 +156,16 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     gid = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.float32)[None, :, None], (b, f, 1)
     )
-    parts = [_affine_coeffs(fvp), alive[..., None].astype(jnp.float32), gid]
+    coeffs = _affine_coeffs(fvp)
+    # Dead faces are neutralized HERE (zdenom coefficients zeroed, so their
+    # depth denominator evaluates to exactly 0 and they can never win a
+    # z-test) instead of carrying a validity column into the kernel's hot
+    # loop — the per-chunk ``valid`` matmul + mask `and` this replaces were
+    # pure VPU overhead on every (pixels x candidates) block.
+    coeffs = coeffs.at[..., _C_AZ : _C_AZ + 3].multiply(
+        alive[..., None].astype(jnp.float32)
+    )
+    parts = [coeffs, alive[..., None].astype(jnp.float32), gid]
     used = 11
     if face_attrs is not None:
         flat_attrs = face_attrs.reshape(b, f, -1).astype(jnp.float32)
@@ -201,13 +210,29 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     overflow = n_overlap > mc
     counts = jnp.minimum(n_overlap, mc) * _BLOCK  # candidate SLOTS per tile
 
-    # --- coherent block gather: one 32-row slice per selected chunk ---
-    def slice_chunk(tab_b, c):  # (F_pad, 32), () -> (_BLOCK, 32)
-        return lax.dynamic_slice(tab_b, (c * _BLOCK, 0), (_BLOCK, _COLS))
+    # Non-overlapping slots from top_k carry ARBITRARY chunk ids; point
+    # them at a dedicated all-zero pad chunk (index n_ch) so the gathered
+    # rows have zdenom == 0 and cull themselves — the kernel then needs no
+    # per-slot ``in_range`` mask (one less iota+compare+and over every
+    # (pixels x candidates) block).
+    slot_live = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, n_tiles, mc), 2)
+        < n_overlap[..., None]
+    )
+    ids = jnp.where(slot_live, ids, n_ch)
 
-    gather_tile = jax.vmap(slice_chunk, in_axes=(None, 0))  # over MC
-    gather_img = jax.vmap(gather_tile, in_axes=(None, 0))  # over T
-    cand = jax.vmap(gather_img)(tab, ids)  # (B, T, MC, _BLOCK, 32)
+    # --- coherent block gather: one contiguous row per selected chunk ---
+    # The table is viewed as (n_ch + 1, _BLOCK*_COLS) contiguous rows (the
+    # +1 is the zero pad chunk) and gathered with take(); the trailing
+    # reshape back to candidate slots is layout-free, unlike the previous
+    # vmapped dynamic_slice whose output XLA laid out block-major and then
+    # repacked with a ~1.6 ms relayout copy.
+    tab_rows = jnp.pad(tab, ((0, 0), (0, _BLOCK), (0, 0))).reshape(
+        b, n_ch + 1, _BLOCK * _COLS
+    )
+    cand = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(
+        tab_rows, ids.reshape(b, -1)
+    )  # (B, T*MC, _BLOCK*_COLS)
     cand = cand.reshape(b, n_tiles, mc * _BLOCK, _COLS)
     # The kernel's inner loop reads _CHUNK-slot blocks: keep K a multiple.
     k_pad = (-cand.shape[2]) % _CHUNK
@@ -288,22 +313,23 @@ def _raster_group_kernel(
             u = ab_t(pmat, blk[:, _C_AU : _C_AU + 3], omat)  # (P, CK)
             v = ab_t(pmat, blk[:, _C_AV : _C_AV + 3], omat)
             zd = ab_t(pmat, blk[:, _C_AZ : _C_AZ + 3], omat)
-            # Outer products broadcast per-candidate scalars to all pixels.
-            valid = ab_t(ones_p, blk[:, _C_VALID : _C_VALID + 1])
+            # Outer product broadcasts the per-candidate face id to pixels.
             gid = ab_t(ones_p, blk[:, _C_GID : _C_GID + 1])
 
             w0 = 1.0 - u - v
-            in_range = (
-                jax.lax.broadcasted_iota(jnp.int32, (p, _CHUNK), 1) + s
-            ) < count
-            inside = (w0 > 0) & (v >= 0) & (u >= 0) & (valid > 0) & in_range
+            # Dead faces and out-of-count slots were neutralized during
+            # binning (zdenom coefficients zeroed / zero pad chunk), so the
+            # inside test needs no validity or slot-range mask here.
+            inside = (w0 > 0) & (v >= 0) & (u >= 0)
             # Hits have zdenom > 0; maximizing it minimizes the
             # perspective-correct depth 1/zdenom without any division.
             zm = jnp.where(inside, zd, 0.0)  # (P, CK)
             zmax = jnp.max(zm, axis=1, keepdims=True)  # (P, 1)
-            k_masked = jnp.where(
-                (zm == zmax) & inside, gid, jnp.float32(_BIG_K)
-            )
+            # When zmax == 0 (no hit in this chunk) the equality below can
+            # fire for several dead candidates at once and ``sel`` sums
+            # their zero/garbage payloads — harmless: ``better`` is False
+            # for zmax == 0 and the carry keeps the previous winner.
+            k_masked = jnp.where(zm == zmax, gid, jnp.float32(_BIG_K))
             kmin = jnp.min(k_masked, axis=1, keepdims=True)  # (P, 1)
             onehot = (k_masked == kmin).astype(jnp.float32)
 

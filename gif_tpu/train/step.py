@@ -224,16 +224,41 @@ def make_train_step(
             d_fake_cond = cond
         do_r1 = (state.step + 1) % cfg.r1_interval == 0
 
-        def d_loss_fn(d_params):
-            real_scores = d_apply(d_params, real, cond)
-            fake_scores = d_apply(d_params, d_fake_images, d_fake_cond)
-            loss = L.d_ns_loss(real_scores, fake_scores)
-            r1 = lax.cond(
-                do_r1,
-                lambda: L.r1_penalty(d_apply, d_params, real, cond, cfg.r1_weight),
-                lambda: jnp.asarray(0.0, jnp.float32),
-            )
-            return loss + r1, (loss, r1)
+        if cfg.r1_interval == 1:
+            # R1 every step (the reference's 17 s/iter configuration,
+            # train.py:145 comment): share the D(real) forward between the
+            # adversarial loss and the penalty.  Inside a ``lax.cond``
+            # branch XLA cannot CSE the duplicated forward with the one
+            # outside, so the cond formulation below pays a full extra
+            # D(real) forward per step; ``jax.vjp`` keeps one forward whose
+            # residuals serve both the input-gradient (R1) and, via the
+            # outer ``value_and_grad``, the parameter gradient
+            # (second-order, same pattern as ``L.path_length_penalty``).
+            def d_loss_fn(d_params):
+                real_scores, in_vjp = jax.vjp(
+                    lambda img: d_apply(d_params, img, cond), real
+                )
+                fake_scores = d_apply(d_params, d_fake_images, d_fake_cond)
+                loss = L.d_ns_loss(real_scores, fake_scores)
+                (g_in,) = in_vjp(jnp.ones_like(real_scores))
+                per_sample = jnp.sum(
+                    g_in.reshape(g_in.shape[0], -1) ** 2, axis=1
+                )
+                r1 = cfg.r1_weight * per_sample.mean()
+                return loss + r1, (loss, r1)
+        else:
+            def d_loss_fn(d_params):
+                real_scores = d_apply(d_params, real, cond)
+                fake_scores = d_apply(d_params, d_fake_images, d_fake_cond)
+                loss = L.d_ns_loss(real_scores, fake_scores)
+                r1 = lax.cond(
+                    do_r1,
+                    lambda: L.r1_penalty(
+                        d_apply, d_params, real, cond, cfg.r1_weight
+                    ),
+                    lambda: jnp.asarray(0.0, jnp.float32),
+                )
+                return loss + r1, (loss, r1)
 
         (d_total, (d_loss, r1_val)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True

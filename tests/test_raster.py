@@ -226,6 +226,35 @@ def test_get_visibility():
 
 
 @pytest.mark.slow
+def test_get_visibility_z():
+    """Bilinear depth-buffer visibility (reference visibility.py:62-100):
+    front-quad vertices pass, a vertex clearly occluded behind the front
+    surface fails, and a vertex within 2% of the z-range of the surface
+    passes (the reference's tolerance band)."""
+    from gif_tpu.render.raster import get_visibility_z
+
+    # Front quad covering the image center at z=-0.5; three probe vertices
+    # behind it at the center: barely-behind (within band), deep-behind
+    # (occluded), plus one off to the side with nothing in front (visible).
+    quad = np.array(
+        [[-0.8, -0.8, -0.5], [0.8, -0.8, -0.5], [0.8, 0.8, -0.5], [-0.8, 0.8, -0.5]],
+        np.float32,
+    )
+    probes = np.array(
+        [[0.0, 0.0, -0.49], [0.0, 0.0, 0.5], [0.95, 0.95, 0.5]], np.float32
+    )
+    verts = jnp.asarray(np.concatenate([quad, probes])[None])
+    faces = jnp.asarray(
+        np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    )
+    vis = np.asarray(get_visibility_z(verts, faces, 64, 64)[0])
+    assert vis[:4].min() == 1.0, "front-quad corners must be visible"
+    assert vis[4] == 1.0, "vertex within the 2% z-band must pass"
+    assert vis[5] == 0.0, "deep-occluded vertex must fail"
+    assert vis[6] == 1.0, "unoccluded side vertex must pass"
+
+
+@pytest.mark.slow
 def test_pallas_rasterizer_matches_xla(rng):
     """The Pallas kernel (interpret mode on CPU) must match the XLA raster."""
     from gif_tpu.render.raster_pallas import rasterize_pallas

@@ -90,6 +90,42 @@ def test_r1_fires_on_schedule():
     assert float(m2["r1"]) > 0.0
 
 
+def test_r1_shared_forward_matches_cond_path():
+    """r1_interval=1 uses a vjp-shared D(real) forward; its r1 value and D
+    update must equal the lax.cond r1_penalty formulation on a step where
+    the cond path fires ((step+1) % interval == 0 at step 1, interval 2)."""
+    state0 = create_train_state(tiny_config(), jax.random.PRNGKey(0))
+    batch = make_batch(tiny_config(), 4)
+
+    cfg_cond = tiny_config(r1_interval=2)
+    s1, _ = make_train_step(cfg_cond, RES, max_tris_per_tile=256)(
+        state0, batch, jax.random.PRNGKey(1)
+    )
+    s2_cond, m_cond = make_train_step(cfg_cond, RES, max_tris_per_tile=256)(
+        s1, batch, jax.random.PRNGKey(2)
+    )
+
+    cfg_shared = tiny_config(r1_interval=1)
+    s2_shared, m_shared = make_train_step(cfg_shared, RES, max_tris_per_tile=256)(
+        s1, batch, jax.random.PRNGKey(2)
+    )
+
+    np.testing.assert_allclose(
+        float(m_shared["r1"]), float(m_cond["r1"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_shared["d_loss"]), float(m_cond["d_loss"]), rtol=1e-5
+    )
+    for (pa, la), (_, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(s2_shared.d_params),
+        jax.tree_util.tree_leaves_with_path(s2_cond.d_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-6,
+            err_msg=f"d_params diverge at {pa}",
+        )
+
+
 def test_interp_loss_path_runs():
     cfg = tiny_config(apply_texture_space_interpolation_loss=True)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
