@@ -58,18 +58,13 @@ class EqualLinear(nn.Module):
 
 
 class EqualConv2d(nn.Module):
-    """Reference EqualConv2d (:155-184); weight stored HWIO.
-
-    ``fold_blur_down`` replaces the caller's preceding 4-tap FIR blur +
-    this stride-2 VALID conv with one blur-folded dense stride-2 conv
-    (ops.fused_resample) — exact math, no depthwise blur pass."""
+    """Reference EqualConv2d (:155-184); weight stored HWIO."""
 
     out_ch: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
-    fold_blur_down: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -82,14 +77,7 @@ class EqualConv2d(nn.Module):
             if self.use_bias
             else None
         )
-        return ops.equal_conv2d(
-            x,
-            w,
-            b,
-            stride=self.stride,
-            padding=self.padding,
-            fold_blur_down=self.fold_blur_down,
-        )
+        return ops.equal_conv2d(x, w, b, stride=self.stride, padding=self.padding)
 
 
 class ModulatedConv2d(nn.Module):
@@ -240,20 +228,17 @@ class ConvLayer(nn.Module):
     def __call__(self, x):
         x = x.astype(self.dtype)
         if self.downsample:
-            # blur + stride-2 conv folded into ONE dense stride-2 conv
-            # (ops.fused_resample) — exact same math as the reference chain
-            # (:280-286 pads), no depthwise blur pass.  Param scope/shape are
-            # identical to the unfolded EqualConv2d.
-            stride, padding, fold = 2, 0, True
+            p = (4 - 2) + (self.kernel_size - 1)
+            x = ops.blur(x, pad=((p + 1) // 2, p // 2))
+            stride, padding = 2, 0
         else:
-            stride, padding, fold = 1, self.kernel_size // 2, False
+            stride, padding = 1, self.kernel_size // 2
         x = EqualConv2d(
             self.out_ch,
             self.kernel_size,
             stride=stride,
             padding=padding,
             use_bias=self.use_bias and not self.activate,
-            fold_blur_down=fold,
             name="conv",
         )(x)
         if self.activate:

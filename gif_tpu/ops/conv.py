@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from gif_tpu.ops.upfirdn import blur
-from gif_tpu.ops.fused_resample import downsample_conv_2x, upsample_conv_2x
 from gif_tpu.ops.linear import equal_linear
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -36,31 +35,22 @@ def equal_conv2d(
     *,
     stride: int = 1,
     padding: int = 0,
-    fold_blur_down: bool = False,
 ) -> jnp.ndarray:
     """Conv with runtime He scaling (reference EqualConv2d, :155-184).
 
     Args:
       x: ``(N, H, W, Cin)``.
       weight: ``(kh, kw, Cin, Cout)`` unit-normal initialized.
-      fold_blur_down: replace the reference's preceding 4-tap FIR blur +
-        this stride-2 VALID conv (ConvLayer downsample, :752-799) with ONE
-        blur-folded dense stride-2 conv — exact same linear map, no
-        depthwise blur pass (``stride``/``padding`` are ignored; the folded
-        pads are derived from the blur arithmetic).
     """
     kh, kw, cin, cout = weight.shape
     scale = 1.0 / math.sqrt(cin * kh * kw)
-    if fold_blur_down:
-        out = downsample_conv_2x(x, weight * scale)
-    else:
-        out = lax.conv_general_dilated(
-            x,
-            (weight * scale).astype(x.dtype),
-            window_strides=(stride, stride),
-            padding=((padding, padding), (padding, padding)),
-            dimension_numbers=_DN,
-        )
+    out = lax.conv_general_dilated(
+        x,
+        (weight * scale).astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_DN,
+    )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -110,43 +100,30 @@ def modulated_conv2d(
     if upsample:
         # Matches torch conv_transpose2d(stride=2, padding=0) followed by a
         # gain-4 blur with pads ((p+1)//2+1, p//2+1), p = 4-2-(k-1)
-        # (reference :272-278, :322-333) — computed as ONE blur-folded
-        # polyphase conv + depth-to-space (ops.fused_resample: even shapes,
-        # no depthwise blur passes, plain conv backward).  Falls back to the
-        # explicit conv_transpose + blur chain for non-3x3/non-4-tap cases.
-        if kh == 3 and kw == 3 and len(blur_taps) == 4:
-            # Compose on the f32 kernel; the folded kernel is cast to the
-            # compute dtype inside (one bf16 rounding, same as the unfolded
-            # path's bf16 kernel + bf16 blur taps).
-            out = upsample_conv_2x(xs, w, taps=blur_taps)
-        else:
-            # transpose_kernel=True takes the kernel of the *forward* conv
-            # this is the gradient of, i.e. HWIO with (I=Cout, O=Cin).
-            out = lax.conv_transpose(
-                xs,
-                jnp.swapaxes(wc, 2, 3),
-                strides=(2, 2),
-                padding="VALID",
-                dimension_numbers=_DN,
-                transpose_kernel=True,
-            )
-            p = (len(blur_taps) - 2) - (kh - 1)
-            pad0 = (p + 1) // 2 + 1
-            pad1 = p // 2 + 1
-            out = blur(out, pad=(pad0, pad1), taps=blur_taps, upsample_factor=2)
+        # (reference :272-278, :322-333).
+        # transpose_kernel=True takes the kernel of the *forward* conv this is
+        # the gradient of, i.e. HWIO with (I=Cout, O=Cin).
+        out = lax.conv_transpose(
+            xs,
+            jnp.swapaxes(wc, 2, 3),
+            strides=(2, 2),
+            padding="VALID",
+            dimension_numbers=_DN,
+            transpose_kernel=True,
+        )
+        p = (len(blur_taps) - 2) - (kh - 1)
+        pad0 = (p + 1) // 2 + 1
+        pad1 = p // 2 + 1
+        out = blur(out, pad=(pad0, pad1), taps=blur_taps, upsample_factor=2)
     elif downsample:
-        # Blur then stride-2 valid conv (reference :280-286, :335-341),
-        # blur-folded into one dense stride-2 conv (ops.fused_resample).
-        if kh == kw:
-            out = downsample_conv_2x(xs, w, taps=blur_taps)
-        else:
-            p = (len(blur_taps) - 2) + (kh - 1)
-            pad0 = (p + 1) // 2
-            pad1 = p // 2
-            xs = blur(xs, pad=(pad0, pad1), taps=blur_taps)
-            out = lax.conv_general_dilated(
-                xs, wc, window_strides=(2, 2), padding="VALID", dimension_numbers=_DN
-            )
+        # Blur then stride-2 valid conv (reference :280-286, :335-341).
+        p = (len(blur_taps) - 2) + (kh - 1)
+        pad0 = (p + 1) // 2
+        pad1 = p // 2
+        xs = blur(xs, pad=(pad0, pad1), taps=blur_taps)
+        out = lax.conv_general_dilated(
+            xs, wc, window_strides=(2, 2), padding="VALID", dimension_numbers=_DN
+        )
     else:
         pad = kh // 2
         out = lax.conv_general_dilated(

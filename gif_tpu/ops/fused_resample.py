@@ -26,6 +26,14 @@ applied to the *kernel* at trace time through a constant basis matrix (the
 FIR taps are static python config), so the per-step cost is one tiny matmul.
 The resulting convs have even shapes, dense MXU-friendly kernels, and plain
 conv backward passes (no reverses).
+
+MEASURED VERDICT (v5e, bench config): NOT wired into the train step.  The
+composed kernels inflate dense-MXU FLOPs 4x (3x3 -> 6x6 down; 2.25-tap
+effective convT -> 4 polyphase 3x3s up) on convs XLA already runs at ~95%
+MXU utilization — the full-step benchmark regressed 69.4 -> 48.9 imgs/s.
+The module is kept as the exactness-pinned composition reference
+(tests/test_fused_resample.py) and for genuinely bandwidth-bound callers
+(tiny-channel stems where MXU padding makes the extra taps free).
 """
 
 from __future__ import annotations
