@@ -11,13 +11,14 @@ run_id-8 conditioning, 256px, global batch 16) and report
 vs_baseline = imgs_per_sec / (16 / 17).
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main():
+def main(run_id: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -25,16 +26,23 @@ def main():
     from gif_tpu.flame.resources import synthetic_flame_resources
 
     batch = 16
+    kwargs = {}
+    if run_id == 8:
+        # Match the 17 s/iter reference anecdote (GP every iteration).
+        kwargs["r1_interval"] = 1
     cfg = get_config(
-        8,  # both conditions, no interp loss — the reference's GP-cost config
+        run_id,  # 8 = both conditions, no interp loss — the GP-cost config
         embedding_vocab_size=1024,
         batch_size=batch,
-        r1_interval=1,  # match the 17 s/iter reference anecdote (GP every iter)
+        **kwargs,
     )
     res = synthetic_flame_resources()
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step_fn = make_train_step(cfg, res, max_tris_per_tile=512, donate=True)
+    # run_id 8 pins the historical capacity of the driver-tracked bench line;
+    # other configs auto-size from the mesh (guarantees render_overflow == 0).
+    cap = 512 if run_id == 8 else None
+    step_fn = make_train_step(cfg, res, max_tris_per_tile=cap, donate=True)
 
     rng = np.random.default_rng(0)
     flame = np.zeros((batch, 236), np.float32)
@@ -66,17 +74,25 @@ def main():
 
     imgs_per_sec = batch * n_iters / dt
     baseline = 16.0 / 17.0  # imgs/sec from the reference's 17 s/iter anecdote
-    print(
-        json.dumps(
-            {
-                "metric": "ffhq256_train_imgs_per_sec_per_chip",
-                "value": round(imgs_per_sec, 3),
-                "unit": "imgs/sec",
-                "vs_baseline": round(imgs_per_sec / baseline, 2),
-            }
-        )
-    )
+    metric = "ffhq256_train_imgs_per_sec_per_chip"
+    line = {
+        "metric": metric if run_id == 8 else f"{metric}_run{run_id}",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / baseline, 2),
+    }
+    if run_id != 8:
+        line["render_overflow"] = float(metrics["render_overflow"])
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--run_id",
+        type=int,
+        default=8,
+        help="training config preset; 8 (default) is the driver-tracked bench "
+        "line, 0 is the paper's flagship (texture-interpolation loss)",
+    )
+    main(ap.parse_args().run_id)
