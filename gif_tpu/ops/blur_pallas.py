@@ -1,0 +1,274 @@
+"""Pallas TPU kernel for the 4-tap separable FIR blur.
+
+The reference resampling chains (model/stylegan2_common_layers.py:136-152)
+surround every up/down conv with a [1,3,3,1] FIR blur.  XLA lowers these to
+depthwise convolutions, which the TPU convolution emitter runs ~3-4x off the
+HBM roofline (depthwise work gives the MXU nothing to contract); profiled on
+the full train step they are the single largest non-matmul pool (~45 ms/step,
+150+ conv ops at 256px batch 16).
+
+This kernel computes BOTH separable passes in one VMEM round trip:
+
+- grid over (batch, H-slabs); channels stay whole (every GIF blur site has
+  C <= 512, so a full-C slab row is a contiguous DMA) and ride the lane dim;
+- the output slab is a normal pipelined BlockSpec block (double-buffered by
+  the Pallas pipeline), while the input stays in HBM (``memory_space=ANY``)
+  and each step DMAs exactly the ``hb + 3`` halo rows it needs — edge slabs
+  use static-size clamped copies into a zero-filled scratch, so there is no
+  host-side padding pass and no redundant neighbour reads;
+- the vertical pass is 4 static leading-dim slices x taps, the horizontal
+  pass pads W (the sublane dim) in VMEM and takes 4 static sublane slices.
+
+The blur is linear, so the VJP is the same kernel with flipped taps and
+transposed pads (pad' = L-1-p, the full-correlation transpose), wired as a
+``jax.custom_vjp`` below.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM working-set budget per grid step (bytes): in-slab + out-slab + the two
+# pass intermediates + the pipeline's double buffering of the out block.
+_VMEM_BUDGET = 6 << 20
+
+
+def _blur_slab_kernel(
+    x_hbm,  # (B, H, Wp, C) in HBM (W padded to the 8-sublane tile)
+    out_ref,  # (1, hb, W_out_p, C) VMEM block
+    xslab,  # (hb + 3, Wp, C) VMEM scratch
+    sem,
+    *,
+    taps: tuple,
+    p0y: int,
+    p1y: int,
+    p0x: int,
+    rp: int,
+    w_out: int,  # padded output width (the host slices back to logical)
+    hb: int,
+    h: int,
+    w: int,  # padded input width
+):
+    hb_in = hb + 3
+    h_out = h + p0y + p1y - 3
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_h = pl.num_programs(1)
+
+    # Out rows [hi*hb, hi*hb + hb) need input rows [hi*hb - p0y, ... + hb_in);
+    # rows outside [0, h) are zero padding.  Top slab misses exactly p0y rows,
+    # the bottom slab misses bot_miss rows — both static, so each edge case is
+    # its own static-size DMA into a zero-filled scratch.
+    bot_miss = (h_out - hb) - p0y + hb_in - h  # rows past the image end
+
+    def copy(src_lo, dst_lo, rows):
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(src_lo, rows)],
+            xslab.at[pl.ds(dst_lo, rows)],
+            sem,
+        )
+
+    if n_h == 1:
+        # Single slab: hb == h_out; both edges in one copy.
+        xslab[...] = jnp.zeros_like(xslab)
+        cp = copy(0, p0y, h)
+        cp.start()
+        cp.wait()
+    else:
+        is_top = hi == 0
+        is_bot = hi == n_h - 1
+
+        @pl.when(jnp.logical_or(is_top, is_bot))
+        def _():
+            xslab[...] = jnp.zeros_like(xslab)
+
+        @pl.when(is_top)
+        def _():
+            cp = copy(0, p0y, hb_in - p0y)
+            cp.start()
+            cp.wait()
+
+        @pl.when(is_bot)
+        def _():
+            cp = copy(h_out - hb - p0y, 0, hb_in - bot_miss)
+            cp.start()
+            cp.wait()
+
+        @pl.when(jnp.logical_and(~is_top, ~is_bot))
+        def _():
+            cp = copy(hi * hb - p0y, 0, hb_in)
+            cp.start()
+            cp.wait()
+
+    x = xslab[...]
+    t = [jnp.asarray(tv, x.dtype) for tv in taps]
+    # Vertical pass: 4 static leading-dim slices.
+    v = (
+        t[0] * x[0:hb]
+        + t[1] * x[1 : hb + 1]
+        + t[2] * x[2 : hb + 2]
+        + t[3] * x[3 : hb + 3]
+    )
+    # Horizontal pass: pad W (sublane dim) then 4 static sublane slices.
+    vp = jnp.pad(v, ((0, 0), (p0x, rp), (0, 0)))
+    out_ref[0] = (
+        t[0] * vp[:, 0:w_out]
+        + t[1] * vp[:, 1 : w_out + 1]
+        + t[2] * vp[:, 2 : w_out + 2]
+        + t[3] * vp[:, 3 : w_out + 3]
+    )
+
+
+def _pick_hb(h_out: int, w: int, c: int, itemsize: int) -> int:
+    per_row = w * c * itemsize * 4
+    hb = max(1, min(h_out, _VMEM_BUDGET // per_row))
+    while h_out % hb:
+        hb -= 1
+    return hb
+
+
+def _plan(shape, pads, itemsize: int):
+    """Slab height for this geometry, or None if the DMA plan can't cover it.
+
+    Multi-slab bounds: the top slab reads ``hb + 3 - p0y`` rows from row 0 and
+    middle slabs read ``hb + 3`` rows from ``hi*hb - p0y`` — both must stay
+    inside ``[0, h)``, which needs ``hb >= max(p0y, p1y)`` and
+    ``hb + 3 - p0y <= h``.
+    """
+    b, h, w, c = shape
+    p0y, p1y, p0x, p1x = pads
+    h_out = h + p0y + p1y - 3
+    w_out = w + p0x + p1x - 3
+    if h_out < 1 or w_out < 1:
+        return None
+    hb = _pick_hb(h_out, _round8(w), c, itemsize)
+    if hb < h_out and (hb < max(p0y, p1y) or hb + 3 - p0y > h):
+        return None
+    return hb
+
+
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _blur4_fwd_impl(x, taps: tuple, pads: tuple):
+    b, h, w, c = x.shape
+    p0y, p1y, p0x, p1x = pads
+    h_out = h + p0y + p1y - 3
+    w_out = w + p0x + p1x - 3
+    hb = _plan(x.shape, pads, x.dtype.itemsize)
+    if hb is None:
+        raise ValueError(f"blur4_pallas cannot cover shape={x.shape} pads={pads}")
+    # Mosaic requires every DMA'd extent on the sublane dim (W) to be
+    # 8-aligned — VMEM *and* HBM memrefs are (8,128)-tiled, so odd-width maps
+    # (the convT outputs, 2^k + 1) fail to compile otherwise.  Pad input and
+    # output W to the tile and slice back: XLA fuses the pad into the
+    # producer and the slice into the consumer, so neither is a standalone
+    # pass.  The kernel's in-VMEM right pad ``rp`` is widened so the
+    # horizontal window covers the padded output width (the extra columns
+    # blur zeros and are sliced away).
+    wp = _round8(w)
+    if wp != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    w_out_p = _round8(w_out)
+    rp = max(max(0, p1x - (wp - w)), w_out_p + 3 - p0x - wp)
+    kernel = functools.partial(
+        _blur_slab_kernel,
+        taps=taps,
+        p0y=p0y,
+        p1y=p1y,
+        p0x=p0x,
+        rp=rp,
+        w_out=w_out_p,
+        hb=hb,
+        h=h,
+        w=wp,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h_out // hb),
+        # HBM explicitly, not ANY: a VMEM-placed input would turn the halo
+        # copy into a VMEM->VMEM memref_slice with stricter shape rules.
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, hb, w_out_p, c), lambda bi, hi: (bi, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out_p, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hb + 3, wp, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+    if w_out_p != w_out:
+        out = out[:, :, :w_out]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def blur4_pallas(x, taps: tuple, pads: tuple):
+    """4-tap separable FIR blur, both passes fused in one Pallas kernel.
+
+    Equivalent to ``upfirdn2d(x, outer(taps, taps) * gain, up=1, down=1,
+    pad=pads)`` (reference Blur, stylegan2_common_layers.py:136-152) for 4-tap
+    kernels; covers every blur the GIF models issue: the down-path pad (2,1)
+    and the gain-4 up-path pad (1,1) on the odd-sized convT output.
+
+    Args:
+      x: ``(B, H, W, C)``.
+      taps: static 1-D taps, already normalised and sqrt(gain)-scaled per
+        axis (the kernel computes exactly ``sum_s taps[s] x[.-p0+s]`` twice).
+      pads: static ``(p0y, p1y, p0x, p1x)``, each in [0, 3].
+
+    Returns:
+      ``(B, H + p0y + p1y - 3, W + p0x + p1x - 3, C)``.
+    """
+    # Correlation with the FLIPPED kernel == the reference's true convolution.
+    return _blur4_fwd_impl(x, tuple(taps)[::-1], tuple(pads))
+
+
+def _blur4_vjp_fwd(x, taps, pads):
+    return blur4_pallas(x, taps, pads), None
+
+
+def _blur4_vjp_bwd(taps, pads, _, g):
+    # Transpose of correlate(pad(x), flip(t)) is correlate(pad'(g), t) with
+    # pad' = L-1-p per side (checked against jax.grad of the XLA formulation
+    # in tests/test_blur_pallas.py).
+    p0y, p1y, p0x, p1x = pads
+    tpads = (3 - p0y, 3 - p1y, 3 - p0x, 3 - p1x)
+    return (_blur4_fwd_impl(g, tuple(taps), tpads),)
+
+
+blur4_pallas.defvjp(_blur4_vjp_fwd, _blur4_vjp_bwd)
+
+
+def supports(shape, taps, up: int, down: int, pad4) -> bool:
+    """True if ``blur4_pallas`` covers this upfirdn geometry on this backend."""
+    if jax.default_backend() != "tpu":
+        return False
+    b, h, w, c = shape
+    if up != 1 or down != 1 or len(taps) != 4:
+        return False
+    if min(pad4) < 0 or max(pad4) > 3:
+        return False
+    # Small maps: the slab machinery pays off once the map outgrows VPU noise;
+    # below that XLA's depthwise conv is fine.
+    if h * w * c < 1 << 16:
+        return False
+    # Both the forward DMA plan and the VJP's (transposed pads over the
+    # output shape) must be coverable, so gradients never hit the impl's
+    # ValueError.
+    p0y, p1y, p0x, p1x = pad4
+    h_out = h + p0y + p1y - 3
+    w_out = w + p0x + p1x - 3
+    tpads = (3 - p0y, 3 - p1y, 3 - p0x, 3 - p1x)
+    for itemsize in (2, 4):  # hb depends on dtype; require both plans viable
+        if _plan(shape, pad4, itemsize) is None:
+            return False
+        if _plan((b, h_out, w_out, c), tpads, itemsize) is None:
+            return False
+    return True
