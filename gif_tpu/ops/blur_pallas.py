@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -124,6 +125,16 @@ def _blur_slab_kernel(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def taps_1d(taps: tuple, gain: float) -> tuple:
+    """Per-axis factor of the 2-D FIR kernel ``outer(t, t) * gain``:
+    normalised taps scaled by sqrt(gain) per axis, so the two separable
+    kernel passes compose to exactly the 2-D blur."""
+    t = np.asarray(taps, dtype=np.float32)
+    t = t / t.sum() * np.sqrt(gain)
+    return tuple(float(v) for v in t)
+
+
 def _pick_hb(h_out: int, w: int, c: int, itemsize: int) -> int:
     per_row = w * c * itemsize * 4
     hb = max(1, min(h_out, _VMEM_BUDGET // per_row))
@@ -133,7 +144,14 @@ def _pick_hb(h_out: int, w: int, c: int, itemsize: int) -> int:
 
 
 def _plan(shape, pads, itemsize: int):
-    """Slab height for this geometry, or None if the DMA plan can't cover it.
+    """(slab height, H zero-extension) for this geometry, or None.
+
+    The grid tiles the output H exactly, so the slab height must divide
+    ``h_out``; when no divisor fits the VMEM budget at a useful size (e.g.
+    ``h_out`` prime, like the 257-row VJP of the 256px down-blur), the host
+    zero-extends H by ``e`` rows — exact for a zero-padding FIR blur, the
+    ``e`` extra output rows blur trailing zeros and are sliced off — and
+    plans for ``h_out + e``.
 
     Multi-slab bounds: the top slab reads ``hb + 3 - p0y`` rows from row 0 and
     middle slabs read ``hb + 3`` rows from ``hi*hb - p0y`` — both must stay
@@ -146,10 +164,17 @@ def _plan(shape, pads, itemsize: int):
     w_out = w + p0x + p1x - 3
     if h_out < 1 or w_out < 1:
         return None
-    hb = _pick_hb(h_out, _round8(w), c, itemsize)
-    if hb < h_out and (hb < max(p0y, p1y) or hb + 3 - p0y > h):
-        return None
-    return hb
+    fallback = None
+    for e in range(8):
+        he, h_oute = h + e, h_out + e
+        hb = _pick_hb(h_oute, _round8(w), c, itemsize)
+        if hb < h_oute and (hb < max(p0y, p1y) or hb + 3 - p0y > he):
+            continue
+        if hb == h_oute or hb >= 8:
+            return hb, e
+        if fallback is None:
+            fallback = (hb, e)
+    return fallback
 
 
 def _round8(n: int) -> int:
@@ -161,9 +186,16 @@ def _blur4_fwd_impl(x, taps: tuple, pads: tuple):
     p0y, p1y, p0x, p1x = pads
     h_out = h + p0y + p1y - 3
     w_out = w + p0x + p1x - 3
-    hb = _plan(x.shape, pads, x.dtype.itemsize)
-    if hb is None:
+    plan = _plan(x.shape, pads, x.dtype.itemsize)
+    if plan is None:
         raise ValueError(f"blur4_pallas cannot cover shape={x.shape} pads={pads}")
+    hb, he = plan
+    if he:
+        # Zero-extend H so the slab height divides the (extended) output
+        # height; the extra rows blur zeros and are sliced off below.
+        x = jnp.pad(x, ((0, 0), (0, he), (0, 0), (0, 0)))
+        h += he
+    h_out_k = h_out + he
     # Mosaic requires every DMA'd extent on the sublane dim (W) to be
     # 8-aligned — VMEM *and* HBM memrefs are (8,128)-tiled, so odd-width maps
     # (the convT outputs, 2^k + 1) fail to compile otherwise.  Pad input and
@@ -191,20 +223,20 @@ def _blur4_fwd_impl(x, taps: tuple, pads: tuple):
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, h_out // hb),
+        grid=(b, h_out_k // hb),
         # HBM explicitly, not ANY: a VMEM-placed input would turn the halo
         # copy into a VMEM->VMEM memref_slice with stricter shape rules.
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, hb, w_out_p, c), lambda bi, hi: (bi, hi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out_p, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_out_k, w_out_p, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((hb + 3, wp, c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=jax.default_backend() != "tpu",
     )(x)
-    if w_out_p != w_out:
-        out = out[:, :, :w_out]
+    if h_out_k != h_out or w_out_p != w_out:
+        out = out[:, :h_out, :w_out]
     return out
 
 

@@ -24,7 +24,7 @@ def _xla_blur(x, pads, gain):
 
 
 def _pallas_blur(x, pads, gain):
-    t1 = upfirdn._cached_taps_1d(TAPS, gain)
+    t1 = blur_pallas.taps_1d(TAPS, gain)
     return blur_pallas.blur4_pallas(x, t1, pads)
 
 
@@ -107,6 +107,38 @@ def test_supports_gate():
     assert not blur_pallas.supports((1, 8, 8, 4), TAPS, 1, 1, (1, 1, 1, 1))
     if jax.default_backend() == "tpu":
         assert blur_pallas.supports(big, TAPS, 1, 1, (2, 2, 2, 2))
+
+
+# Every Pallas-eligible blur geometry the 256px GIF models issue at batch 16
+# (generator conv_transpose outputs, pad (1,1) gain 4; discriminator
+# ConvLayer pre-blurs, pads (2,2) for k=3 / (1,1) for the k=1 skip).  The
+# supports() gate requires BOTH the forward plan and the VJP plan (transposed
+# pads over the output shape) to be coverable so gradients never hit the
+# impl's ValueError — pin that here, off-device.
+MODEL_GEOMETRIES = [
+    ((16, 17, 17, 512), (1, 1, 1, 1)),
+    ((16, 33, 33, 512), (1, 1, 1, 1)),
+    ((16, 65, 65, 512), (1, 1, 1, 1)),
+    ((16, 129, 129, 256), (1, 1, 1, 1)),
+    ((16, 257, 257, 128), (1, 1, 1, 1)),
+    ((16, 16, 16, 512), (2, 2, 2, 2)),
+    ((16, 32, 32, 512), (2, 2, 2, 2)),
+    ((16, 64, 64, 512), (2, 2, 2, 2)),
+    ((16, 128, 128, 256), (2, 2, 2, 2)),
+    ((16, 256, 256, 128), (2, 2, 2, 2)),
+    ((16, 256, 256, 64), (1, 1, 1, 1)),  # k=1 skip-path downsample blur
+]
+
+
+@pytest.mark.parametrize("shape,pads", MODEL_GEOMETRIES)
+def test_plan_covers_model_geometries(shape, pads):
+    b, h, w, c = shape
+    p0y, p1y, p0x, p1x = pads
+    out_shape = (b, h + p0y + p1y - 3, w + p0x + p1x - 3, c)
+    tpads = tuple(3 - p for p in pads)
+    for itemsize in (2, 4):
+        assert blur_pallas._plan(shape, pads, itemsize) is not None
+        assert blur_pallas._plan(out_shape, tpads, itemsize) is not None
 
 
 def test_plan_rejects_uncoverable_geometry():
