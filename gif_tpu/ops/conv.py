@@ -101,15 +101,19 @@ def modulated_conv2d(
         # Matches torch conv_transpose2d(stride=2, padding=0) followed by a
         # gain-4 blur with pads ((p+1)//2+1, p//2+1), p = 4-2-(k-1)
         # (reference :272-278, :322-333).
-        # transpose_kernel=True takes the kernel of the *forward* conv this is
-        # the gradient of, i.e. HWIO with (I=Cout, O=Cin).
-        out = lax.conv_transpose(
+        # Written as the explicit lhs-dilated conv (zero-stuff stride 2, pad
+        # k-1, spatially flipped kernel) rather than ``lax.conv_transpose``:
+        # identical forward HLO, but JAX's transpose rule for the dilated
+        # conv expresses the gradient as another conv with a *kernel* flip,
+        # while conv_transpose's gradient reverses the (2H+1)^2 activation
+        # cotangent — ~4 ms/step of pure data movement at 256px batch 16.
+        out = lax.conv_general_dilated(
             xs,
-            jnp.swapaxes(wc, 2, 3),
-            strides=(2, 2),
-            padding="VALID",
+            wc[::-1, ::-1],
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
             dimension_numbers=_DN,
-            transpose_kernel=True,
         )
         p = (len(blur_taps) - 2) - (kh - 1)
         pad0 = (p + 1) // 2 + 1
