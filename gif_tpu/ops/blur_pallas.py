@@ -278,8 +278,13 @@ def _blur4_vjp_bwd(taps, pads, _, g):
 blur4_pallas.defvjp(_blur4_vjp_fwd, _blur4_vjp_bwd)
 
 
-def supports(shape, taps, up: int, down: int, pad4) -> bool:
-    """True if ``blur4_pallas`` covers this upfirdn geometry on this backend."""
+def supports(shape, taps, up: int, down: int, pad4, itemsize: int | None = None) -> bool:
+    """True if ``blur4_pallas`` covers this upfirdn geometry on this backend.
+
+    ``itemsize`` is the input dtype's byte width when known; the bf16/f32
+    plans are always required too, since the VJP cotangent may arrive in
+    either compute dtype.
+    """
     if jax.default_backend() != "tpu":
         return False
     b, h, w, c = shape
@@ -298,9 +303,10 @@ def supports(shape, taps, up: int, down: int, pad4) -> bool:
     h_out = h + p0y + p1y - 3
     w_out = w + p0x + p1x - 3
     tpads = (3 - p0y, 3 - p1y, 3 - p0x, 3 - p1x)
-    for itemsize in (2, 4):  # hb depends on dtype; require both plans viable
-        if _plan(shape, pad4, itemsize) is None:
+    sizes = {2, 4} | ({itemsize} if itemsize else set())
+    for size in sorted(sizes):  # hb depends on dtype; require all plans viable
+        if _plan(shape, pad4, size) is None:
             return False
-        if _plan((b, h_out, w_out, c), tpads, itemsize) is None:
+        if _plan((b, h_out, w_out, c), tpads, size) is None:
             return False
     return True

@@ -111,7 +111,7 @@ def modulated_conv2d(
             xs,
             wc[::-1, ::-1],
             window_strides=(1, 1),
-            padding=((2, 2), (2, 2)),
+            padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
             lhs_dilation=(2, 2),
             dimension_numbers=_DN,
         )

@@ -48,9 +48,12 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _blur_kernel_2d(taps: tuple, gain: float) -> np.ndarray:
-    k = np.asarray(taps, np.float64)
-    k = np.outer(k, k)
-    return (k / k.sum()) * gain
+    # Single source of truth for the FIR kernel construction: the live blur
+    # path's normalization (upfirdn._cached_kernel), upcast for the f64
+    # composition-basis algebra below.
+    from gif_tpu.ops.upfirdn import _cached_kernel
+
+    return np.asarray(_cached_kernel(tuple(taps), float(gain)), np.float64)
 
 
 @functools.lru_cache(maxsize=None)

@@ -23,9 +23,13 @@ def allgather_rows(
     """Gather row-aligned host arrays from every process along axis 0.
 
     ``arrays`` share a leading length on each process (which may differ
-    ACROSS processes).  Returns the process-order concatenation, truncated
-    to ``max_rows``; row alignment between the arrays is preserved.
-    Single-process: a no-op (modulo truncation).
+    ACROSS processes).  Rows are INTERLEAVED round-robin across processes
+    (row 0 of every process, then row 1, ...), so a ``max_rows`` truncation
+    keeps a near-uniform share from every host's stream — a process-order
+    concatenation would reduce to process 0's buffer alone whenever its
+    accumulator is already at ``max_rows`` (every steady-state FID eval).
+    Row alignment between the arrays is preserved.  Single-process: a no-op
+    (modulo truncation).
     """
     arrays = tuple(np.ascontiguousarray(a) for a in arrays)
     n = len(arrays[0])
@@ -40,12 +44,17 @@ def allgather_rows(
         multihost_utils.process_allgather(np.array([n], np.int64))
     ).reshape(-1)
     cap = int(counts.max())
+    # Round-robin row order over the (process, row) grid, identical for
+    # every array so alignment survives: valid (r, p) pairs sorted by r.
+    rows = np.arange(cap)[:, None]  # (cap, 1)
+    valid = rows < counts[None, :]  # (cap, P)
+    flat_idx = (np.arange(len(counts))[None, :] * cap + rows)[valid]
     out = []
     for a in arrays:
         pad = np.zeros((cap - n,) + a.shape[1:], a.dtype)
         gathered = np.asarray(
             multihost_utils.process_allgather(np.concatenate([a, pad], 0))
-        )
-        parts = [gathered[p, : int(counts[p])] for p in range(len(counts))]
-        out.append(np.concatenate(parts, 0)[:max_rows])
+        )  # (P, cap, ...)
+        pooled = gathered.reshape((-1,) + gathered.shape[2:])[flat_idx]
+        out.append(pooled[:max_rows])
     return tuple(out)

@@ -141,9 +141,16 @@ def test_plan_covers_model_geometries(shape, pads):
         assert blur_pallas._plan(out_shape, tpads, itemsize) is not None
 
 
-def test_plan_rejects_uncoverable_geometry():
-    # h=4 with p0y=0: a multi-slab plan would need hb+3 <= 4; single-slab is
-    # fine.  Force multi-slab with a tiny budget and check the plan bails.
-    assert blur_pallas._plan((1, 64, 64, 64), (2, 2, 2, 2), 4) is not None
-    hb = blur_pallas._plan((1, 24, 16, 8), (2, 2, 2, 2), 4)
-    assert hb is not None and 24 % 1 == 0
+def test_plan_rejects_uncoverable_geometry(monkeypatch):
+    # Force multi-slab with a tiny VMEM budget: per_row = 16*8*4*4 = 2048
+    # bytes, so a 4 KiB budget caps hb at 2 (after the H-extension search
+    # too) — below the max(p0y, p1y) = 3 halo bound for pads (3,3,.,.),
+    # which no zero-extension can repair.  The plan must bail, making
+    # supports() (and therefore blur()) fall back to the XLA path instead
+    # of emitting an out-of-bounds halo DMA.
+    shape = (1, 64, 16, 8)
+    assert blur_pallas._plan(shape, (3, 3, 3, 3), 4) is not None
+    monkeypatch.setattr(blur_pallas, "_VMEM_BUDGET", 4 << 10)
+    assert blur_pallas._plan(shape, (3, 3, 3, 3), 4) is None
+    # The same budget with small pads stays coverable (hb=2 >= max pads=1).
+    assert blur_pallas._plan(shape, (1, 1, 1, 1), 4) is not None

@@ -129,9 +129,15 @@ def _child(pid: int, port: int, out_dir: str) -> None:
     ids = np.arange(3 + 2 * pid, dtype=np.int32)
     rows, gids = allgather_rows((local, ids), max_rows=100)
     assert len(rows) == 3 + 5  # 3 rows from p0, 5 from p1
-    np.testing.assert_array_equal(rows[:3, 0], [0.0, 1.0, 2.0])
-    np.testing.assert_array_equal(rows[3:, 0], [100.0, 101, 102, 103, 104])
-    np.testing.assert_array_equal(gids, [0, 1, 2, 0, 1, 2, 3, 4])
+    # Rows interleave round-robin across processes (so a max_rows truncation
+    # keeps a near-uniform share of every host's stream), alignment kept.
+    np.testing.assert_array_equal(
+        rows[:, 0], [0.0, 100.0, 1.0, 101.0, 2.0, 102.0, 103.0, 104.0]
+    )
+    np.testing.assert_array_equal(gids, [0, 0, 1, 1, 2, 2, 3, 4])
+    # A tight cap keeps rows from BOTH processes, not just process 0.
+    capped, _ = allgather_rows((local, ids), max_rows=4)
+    np.testing.assert_array_equal(capped[:, 0], [0.0, 100.0, 1.0, 101.0])
     print(f"[p{pid}] allgather_rows OK", flush=True)
 
     # --- the real training loop over the global mesh ---

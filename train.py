@@ -98,42 +98,56 @@ def main():
 
     # Architecture graph dumps at startup (reference train.py:339-342,
     # 354-355 draws G/D graphs via graph_writer); process 0 only.
-    try:
-        assert jax.process_index() == 0, "graph dumps are process-0 only"
-        import jax.numpy as jnp
-        from gif_tpu.train.state import build_models
-        from gif_tpu.utils.graph import draw
+    if jax.process_index() == 0:
+        try:
+            import jax.numpy as jnp
+            from gif_tpu.train.state import build_models
+            from gif_tpu.utils.graph import draw
 
-        gen, disc = build_models(cfg)
-        size = cfg.max_size
-        os.makedirs(args.out_dir, exist_ok=True)
-        draw(
-            gen,
-            os.path.join(args.out_dir, f"generator_run{args.run_id}.txt"),
-            jnp.zeros((1, size, size, cfg.cond_channels)),
-            input_indices=jnp.zeros((1,), jnp.int32),
-            step=cfg.max_step,
-        )
-        draw(
-            disc,
-            os.path.join(args.out_dir, f"discriminator_run{args.run_id}.txt"),
-            jnp.zeros((1, size, size, 3)),
-            jnp.zeros((1, size, size, cfg.cond_channels)),
-        )
-    except Exception as e:  # non-fatal, like the reference's viz
-        print(f"graph dump skipped: {e}")
+            gen, disc = build_models(cfg)
+            size = cfg.max_size
+            os.makedirs(args.out_dir, exist_ok=True)
+            draw(
+                gen,
+                os.path.join(args.out_dir, f"generator_run{args.run_id}.txt"),
+                jnp.zeros((1, size, size, cfg.cond_channels)),
+                input_indices=jnp.zeros((1,), jnp.int32),
+                step=cfg.max_step,
+            )
+            draw(
+                disc,
+                os.path.join(args.out_dir, f"discriminator_run{args.run_id}.txt"),
+                jnp.zeros((1, size, size, 3)),
+                jnp.zeros((1, size, size, cfg.cond_channels)),
+            )
+        except Exception as e:  # non-fatal, like the reference's viz
+            print(f"graph dump skipped: {e}")
 
     n_dev = len(jax.devices())
     mesh = None
     if not args.no_mesh and n_dev > 1:
-        # The interp loss pairs interpolants within a shard: keep >=2
+        # The interp loss pairs interpolants within a shard: keep >=3
         # samples per device (shrinking the mesh beats crashing; the
         # spare devices idle, as they would under the reference's
         # DataParallel with a short batch).
         min_per_shard = 3 if cfg.apply_texture_space_interpolation_loss else 1
-        use = min(n_dev, max(1, cfg.batch_size // min_per_shard))
-        while cfg.batch_size % use:  # shard_map needs even division
-            use -= 1
+        if jax.process_count() > 1:
+            # Multihost: every process feeds its local shard of the global
+            # batch, so the mesh must span ALL global devices — a prefix
+            # mesh would orphan some processes' devices (and devices=1
+            # would silently train independent diverging copies).  Validate
+            # instead of shrinking.
+            if cfg.batch_size % n_dev or cfg.batch_size // n_dev < min_per_shard:
+                raise ValueError(
+                    f"multihost run needs batch_size divisible by the "
+                    f"{n_dev} global devices with >= {min_per_shard} "
+                    f"samples per shard; got batch_size={cfg.batch_size}"
+                )
+            use = n_dev
+        else:
+            use = min(n_dev, max(1, cfg.batch_size // min_per_shard))
+            while cfg.batch_size % use:  # shard_map needs even division
+                use -= 1
         if use > 1:
             mesh = Mesh(np.array(jax.devices()[:use]), ("data",))
             print(f"data-parallel mesh over {use} devices")
