@@ -12,14 +12,18 @@ camera = (scale, shift_x, shift_y); xy are shifted then ALL THREE coordinates
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from gif_tpu import constants as cnst
 from gif_tpu.flame.decoder import flame_decode
 
 # Desired normalized eye-centre positions (x1, x2, y1, y2)
-# (reference eye_centering.py:52-53).
-_DESIRED = jnp.array([-0.2419, 0.2441, 0.0501 - 0.1, 0.0509 - 0.1])
+# (reference eye_centering.py:52-53).  Host numpy, NOT a jnp array: a
+# module-level device array would initialize the JAX backend as an import
+# side effect, which breaks jax.distributed.initialize ordering on
+# multi-host entry points.
+_DESIRED = np.array([-0.2419, 0.2441, 0.0501 - 0.1, 0.0509 - 0.1], np.float32)
 
 
 def batch_orth_proj(X: jnp.ndarray, camera: jnp.ndarray) -> jnp.ndarray:
@@ -60,7 +64,7 @@ def solve_eye_camera(verts: jnp.ndarray, eye_left: int, eye_right: int) -> jnp.n
     col_bx = jnp.broadcast_to(jnp.array([1.0, 1.0, 0.0, 0.0], verts.dtype), (b, 4))
     col_by = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0, 1.0], verts.dtype), (b, 4))
     A = jnp.stack([col_s, col_bx, col_by], axis=2)  # (B, 4, 3)
-    target = jnp.broadcast_to(_DESIRED.astype(verts.dtype), (b, 4))
+    target = jnp.broadcast_to(jnp.asarray(_DESIRED, verts.dtype), (b, 4))
 
     pinv = jnp.vectorize(jnp.linalg.pinv, signature="(m,n)->(n,m)")(A)  # (B, 3, 4)
     sol = jnp.einsum("bji,bi->bj", pinv, target)

@@ -157,7 +157,7 @@ def _dynamic_contour_bucket(pose_params, neck_pose, dtype):
     yaw = jnp.arctan2(
         -rel[:, 2, 0], jnp.sqrt(rel[:, 0, 0] ** 2 + rel[:, 1, 0] ** 2)
     )
-    deg = jnp.round(jnp.clip(-yaw * (180.0 / np.pi), a_max=39.0)).astype(jnp.int32)
+    deg = jnp.round(jnp.clip(-yaw * (180.0 / np.pi), max=39.0)).astype(jnp.int32)
     neg = deg < 0
     below = deg < -39
     neg_vals = jnp.where(below, 78, 39 - deg)

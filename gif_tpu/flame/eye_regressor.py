@@ -67,12 +67,16 @@ class EyeCameraRegressor:
     mean_out: np.ndarray
     std_out: np.ndarray
     model: CameraRegressor = dataclasses.field(default_factory=CameraRegressor)
+    val_mse: float = float("nan")  # held-out MSE in camera units (train_regressor)
 
-    def get_camera(self, flame_batch: jnp.ndarray) -> jnp.ndarray:
-        feats = flame_batch[:, jnp.asarray(FEATURE_IDX)]
+    def predict(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Camera from raw (B, 12) feature rows (z-scoring applied here)."""
         x = (feats - self.mean_in) / self.std_in
         out = self.model.apply(self.variables, x, train=False)
         return out * self.std_out + self.mean_out
+
+    def get_camera(self, flame_batch: jnp.ndarray) -> jnp.ndarray:
+        return self.predict(flame_batch[:, jnp.asarray(FEATURE_IDX)])
 
     def substitute_camera(self, flame_batch: jnp.ndarray) -> jnp.ndarray:
         cam = self.get_camera(flame_batch)
@@ -167,10 +171,18 @@ def train_regressor(
         if verbose:
             print(f"epoch {epoch}: mse {np.mean(losses):.5f}")
 
-    return EyeCameraRegressor(
+    # Held-out validation on the carved-off tail (normalized like training),
+    # so val_frac actually buys an eval instead of just discarding data.
+    x_val, y_val = x[-n_val:], y[-n_val:]
+    reg = EyeCameraRegressor(
         variables={"params": params, "batch_stats": batch_stats},
         mean_in=mean_in.astype(np.float32),
         std_in=std_in.astype(np.float32),
         mean_out=mean_out.astype(np.float32),
         std_out=std_out.astype(np.float32),
     )
+    val_mse = float(np.mean((np.asarray(reg.predict(x_val)) - y_val) ** 2))
+    if verbose:
+        print(f"val mse (unnormalized cam units): {val_mse:.6f}")
+    reg.val_mse = val_mse
+    return reg

@@ -82,7 +82,14 @@ def _barycentric(px, py, fv):
     inv = jnp.where(det == 0, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
     u = (dot11 * dot02 - dot01 * dot12) * inv
     v = (dot00 * dot12 - dot01 * dot02) * inv
-    return jnp.stack([1.0 - u - v, v, u], axis=-1)  # (K, P, 3)
+    # A degenerate triangle (det == 0 after f32 rounding) yields u = v = 0
+    # for EVERY pixel, which the reference kernel's inside test would accept
+    # — but the CUDA kernel only visits the triangle's own bbox pixels,
+    # while this gather formulation tests every pixel of every overlapped
+    # tile, so an unguarded sliver would stamp whole tiles.  Poison w0 so
+    # the `w0 > 0` inside test rejects degenerate candidates everywhere.
+    w0 = jnp.where(det == 0, -1.0, 1.0 - u - v)
+    return jnp.stack([w0, v, u], axis=-1)  # (K, P, 3)
 
 
 def _bin_triangles(fv, n_tiles_y, n_tiles_x, tile, max_per_tile, h, w, alive_frac=1.0):
@@ -266,7 +273,10 @@ def get_visibility(verts_ndc: jnp.ndarray, faces: jnp.ndarray, h: int, w: int):
 
     pix = to_pixel_space(verts_ndc, h, w)
     fv = face_vertices(pix, faces)
-    out = rasterize(fv, h=h, w=w)
+    # Mesh-derived capacity (not the fixed default): dropped candidates
+    # would silently mark their vertices invisible with no overflow signal.
+    cap = auto_max_tris_per_tile(faces.shape[0], (h // 32) * (w // 32))
+    out = rasterize(fv, h=h, w=w, max_tris_per_tile=cap)
     f = faces.shape[0]
     v = verts_ndc.shape[1]
 
@@ -298,7 +308,9 @@ def get_visibility_z(verts_ndc: jnp.ndarray, faces: jnp.ndarray, h: int, w: int)
 
     pix = to_pixel_space(verts_ndc, h, w)
     fv = face_vertices(pix, faces)
-    out = rasterize(fv, h=h, w=w)  # depth: (B, H, W), BIG_DEPTH for misses
+    cap = auto_max_tris_per_tile(faces.shape[0], (h // 32) * (w // 32))
+    # depth: (B, H, W), BIG_DEPTH for misses
+    out = rasterize(fv, h=h, w=w, max_tris_per_tile=cap)
 
     x, y, z = pix[..., 0], pix[..., 1], pix[..., 2]
     # Reference uses a batch-global z range (visibility.py:85).

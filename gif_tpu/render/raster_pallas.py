@@ -99,6 +99,12 @@ def _affine_coeffs(fvp):
     q(px, py) = a_q*px + b_q*py + c_q, matching the dot-product formula of
     the reference kernel (:79-109) and ``zdenom = w0/z0 + v/z1 + u/z2``
     (:148) algebraically.
+
+    Also returns ``nondegenerate`` (B, F) bool: a triangle whose barycentric
+    determinant rounds to exactly 0 in f32 gets u = v = 0 (w0 = 1) at EVERY
+    pixel, which would pass the inside test across whole tiles — the
+    reference kernel only visits such a sliver's own bbox pixels, so the
+    caller must fold this into the alive mask.
     """
     p0, p1, p2 = fvp[..., 0, :], fvp[..., 1, :], fvp[..., 2, :]
     v0x = p2[..., 0] - p0[..., 0]
@@ -126,7 +132,7 @@ def _affine_coeffs(fvp):
     az = au * du + av * dv
     bz = bu * du + bv * dv
     cz = rz0 + cu * du + cv * dv
-    return jnp.stack([au, bu, cu, av, bv, cv, az, bz, cz], axis=-1)
+    return jnp.stack([au, bu, cu, av, bv, cv, az, bz, cz], axis=-1), det != 0
 
 
 def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
@@ -150,13 +156,18 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
     x_max = jnp.minimum(jnp.floor(xs.max(-1)), w - 1)
     y_min = jnp.maximum(jnp.ceil(ys.min(-1)), 0)
     y_max = jnp.minimum(jnp.floor(ys.max(-1)), h - 1)
-    alive = _front_facing(fvp) & (x_min <= x_max) & (y_min <= y_max)
+    coeffs, nondegenerate = _affine_coeffs(fvp)
+    alive = (
+        _front_facing(fvp)
+        & (x_min <= x_max)
+        & (y_min <= y_max)
+        & nondegenerate
+    )
 
     # --- candidate table (B, F_pad, 32) ---
     gid = jnp.broadcast_to(
         jnp.arange(f, dtype=jnp.float32)[None, :, None], (b, f, 1)
     )
-    coeffs = _affine_coeffs(fvp)
     # Dead faces are neutralized HERE (zdenom coefficients zeroed, so their
     # depth denominator evaluates to exactly 0 and they can never win a
     # z-test) instead of carrying a validity column into the kernel's hot

@@ -34,7 +34,11 @@ from gif_tpu.render.shading import sh9_shading, albedo_from_tex_code, grid_sampl
 # One-time Morton permutation per resource set (keyed by identity; the
 # value pins the res object so ids stay unique).  Spatially-coherent face
 # ids keep the chunk-skip Pallas rasterizer's per-chunk bboxes tight.
+# Bounded: a training process uses ONE resource set, so a tiny LRU covers
+# real use while an unbounded dict would pin every FlameResources a
+# long-lived process (serve, notebooks) ever rendered (~40 MB each).
 _MORTON_CACHE: dict = {}
+_MORTON_CACHE_MAX = 4
 
 
 def _morton_faces(res):
@@ -48,6 +52,8 @@ def _morton_faces(res):
     faces = np.asarray(res.faces)
     perm = morton_face_order(faces, np.asarray(res.v_template))
     sorted_faces = faces[perm]
+    while len(_MORTON_CACHE) >= _MORTON_CACHE_MAX:
+        _MORTON_CACHE.pop(next(iter(_MORTON_CACHE)))
     _MORTON_CACHE[id(res)] = (res, sorted_faces)
     return sorted_faces
 

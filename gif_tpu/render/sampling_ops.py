@@ -70,7 +70,10 @@ def _sample_fwd_impl(img, pts):
     if _use_mxu(h, w, c):
         from gif_tpu.render.sampler_pallas import _sampler_fwd_impl
 
-        return _sampler_fwd_impl(img, pts[:, :, None, :])[:, :, 0]
+        # Cast back to the source dtype (the MXU kernel accumulates in f32)
+        # so output dtype matches the gather fallback across backends.
+        out = _sampler_fwd_impl(img, pts[:, :, None, :])[:, :, 0]
+        return out.astype(img.dtype)
     ids, wgt, ok = _tap_data(img.shape, pts)
     flat = img.reshape(b, h * w, c)
 

@@ -37,6 +37,45 @@ def _to_np(x):
     return np.asarray(x, np.float32)
 
 
+def _box_down2(a: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample of an (H, W, ...) image/basis stack."""
+    h, w = a.shape[:2]
+    return a.reshape((h // 2, 2, w // 2, 2) + a.shape[2:]).mean(axis=(1, 3))
+
+
+def _per_vertex_uv(uvs, uv_faces, faces, n_verts) -> np.ndarray:
+    """Per-vertex UV from an OBJ's seamed (vt list + uv-face indices) layout.
+
+    FLAME's head_template_mesh.obj has MORE vt entries than vertices (UV
+    seams) and its vt order is NOT vertex order — ``uvs[:n_verts]`` would
+    assign nearly every vertex another vertex's UV.  The renderer samples
+    per-vertex (renderer.py: ``uv[faces]``), so collapse seams by taking
+    each vertex's first-occurring corner UV (seam vertices keep one of
+    their charts; FLAME's face region is seam-free).
+
+    The v axis is flipped here to the renderer's image convention
+    (v=0 = top texture row): OBJ vt is bottom-origin, and the DECA
+    renderer this mirrors applies the same flip before grid_sample.
+    """
+    uvs = uvs.copy()
+    uvs[:, 1] = 1.0 - uvs[:, 1]
+    if uv_faces is None:
+        if len(uvs) < n_verts:
+            raise ValueError(
+                f"OBJ has {len(uvs)} vt entries for {n_verts} vertices and "
+                "no uv-face indices"
+            )
+        return uvs[:n_verts]
+    flat_v = np.asarray(faces, np.int64).reshape(-1)
+    flat_uv = uvs[np.asarray(uv_faces, np.int64).reshape(-1)]
+    order = np.argsort(flat_v, kind="stable")
+    vv, uu = flat_v[order], flat_uv[order]
+    first = np.concatenate([[True], vv[1:] != vv[:-1]])
+    out = np.zeros((n_verts, 2), np.float32)
+    out[vv[first]] = uu[first]
+    return out
+
+
 def load_face_region_mask(path) -> np.ndarray:
     """Face-region mask PNG -> (H, W) float32 in [0, 1]: first channel
     scaled by 255 (reference losses.py:132-134)."""
@@ -84,11 +123,20 @@ def convert(
         res_kwargs["posedirs"] = pd.reshape(-1, pd.shape[-1]).T
 
     tex = np.load(texture_npz)
-    res_kwargs["tex_mean"] = np.asarray(tex["mean"], np.float32).reshape(512, 512, 3)
     n_tex = 50
-    res_kwargs["tex_dirs"] = (
-        np.asarray(tex["tex_dir"], np.float32).reshape(512, 512, 3, -1)[..., :n_tex]
-    )
+    tex_mean = np.asarray(tex["mean"], np.float32).reshape(512, 512, 3)
+    tex_dirs = np.asarray(tex["tex_dir"], np.float32).reshape(512, 512, 3, -1)[
+        ..., :n_tex
+    ]
+    # The PCA space ships at 512; the resource schema (and the
+    # texture_data_256 precompute it must stay texel-aligned with —
+    # FlameResources TEX_RES, models/texture_space.py) is 256.  The
+    # reference renders at 512 and callers bilinear-downsample to 256
+    # (losses.py:215-216); a 2x2 box average of the PCA basis commutes
+    # with the linear texture model, so downsampling the basis here is
+    # the same image downsample folded into the resources.
+    res_kwargs["tex_mean"] = _box_down2(tex_mean)
+    res_kwargs["tex_dirs"] = _box_down2(tex_dirs)
 
     lmk = np.load(lmk_file, allow_pickle=True, encoding="latin1")
     if hasattr(lmk, "item"):
@@ -128,10 +176,15 @@ def convert(
         td["valid_pixel_b_coords"], np.float32
     )
 
-    _, _, uvs, _ = load_obj(obj_file)
+    _, obj_faces, uvs, uv_faces = load_obj(obj_file)
     if uvs is None:
         raise ValueError("template OBJ carries no UV coordinates")
-    res_kwargs["uv_coords"] = np.asarray(uvs, np.float32)[: len(res_kwargs["v_template"])]
+    res_kwargs["uv_coords"] = _per_vertex_uv(
+        np.asarray(uvs, np.float32),
+        uv_faces,
+        obj_faces,
+        len(res_kwargs["v_template"]),
+    )
 
     if face_mask_file is not None:
         res_kwargs["face_region_mask"] = load_face_region_mask(face_mask_file)

@@ -280,3 +280,42 @@ def test_dynamic_contour_bucket_mapping():
         pose = jnp.zeros((b, 6)).at[:, 1].set(_np.deg2rad(deg))
         got = _np.asarray(_dynamic_contour_bucket(pose, neck, jnp.float32))
         assert (got == expect).all(), (deg, got, expect)
+
+
+def test_converter_per_vertex_uv_seamed_obj():
+    """FLAME's template OBJ has MORE vt entries than vertices (UV seams) and
+    vt order is uv-face order, not vertex order — the converter must map
+    each vertex to its corner UV via uv_faces, not truncate the vt list
+    (review finding: uv[:n_verts] scrambles nearly every face's texture)."""
+    from gif_tpu.tools.convert_flame import _per_vertex_uv
+
+    # 4 vertices, 5 vt entries (vertex 3 is a seam with two charts), two
+    # faces indexing vt out of vertex order.
+    uvs = np.array(
+        [[0.1, 0.2], [0.9, 0.8], [0.5, 0.5], [0.3, 0.7], [0.2, 0.1]],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 3], [1, 2, 3]], np.int32)
+    uv_faces = np.array([[2, 0, 1], [0, 4, 3]], np.int32)
+    out = _per_vertex_uv(uvs, uv_faces, faces, 4)
+    assert out.shape == (4, 2)
+    flip = lambda u: [u[0], 1.0 - u[1]]  # converter flips v to image rows
+    np.testing.assert_allclose(out[0], flip(uvs[2]))  # v0 <- vt2
+    np.testing.assert_allclose(out[1], flip(uvs[0]))  # v1 <- vt0 (first occurrence)
+    np.testing.assert_allclose(out[2], flip(uvs[4]))  # v2 <- vt4
+    np.testing.assert_allclose(out[3], flip(uvs[1]))  # v3 seam: first chart wins
+
+
+def test_converter_box_downsample():
+    from gif_tpu.tools.convert_flame import _box_down2
+
+    a = np.arange(4 * 4 * 3, dtype=np.float32).reshape(4, 4, 3)
+    d = _box_down2(a)
+    assert d.shape == (2, 2, 3)
+    np.testing.assert_allclose(d[0, 0], a[:2, :2].mean(axis=(0, 1)))
+    # Linearity: downsampling the PCA basis == downsampling rendered textures.
+    dirs = np.random.default_rng(0).standard_normal((4, 4, 3, 5)).astype(np.float32)
+    code = np.random.default_rng(1).standard_normal(5).astype(np.float32)
+    np.testing.assert_allclose(
+        _box_down2(dirs) @ code, _box_down2(dirs @ code), rtol=1e-5, atol=1e-5
+    )

@@ -468,3 +468,39 @@ def test_mxu_scatter_matches_sampling_vjp(rng):
     np.testing.assert_allclose(
         np.asarray(got), ref.reshape(b, h, w, c), rtol=2e-2, atol=2e-2
     )
+
+
+def test_degenerate_triangle_never_inside():
+    """A triangle whose barycentric determinant rounds to exactly 0 must be
+    rejected by BOTH raster paths: the reference CUDA kernel only visits a
+    sliver's own bbox pixels, while the gather/matmul formulations test every
+    pixel of every overlapped tile — an unguarded det==0 candidate evaluates
+    u = v = 0 (w0 = 1) everywhere and would stamp whole tiles."""
+    from gif_tpu.render.raster import _barycentric
+    from gif_tpu.render.raster_pallas import _affine_coeffs
+
+    # Exactly collinear corners -> det == 0 in f32.
+    fv = jnp.asarray(
+        [[[1.0, 1.0, 1.0], [3.0, 3.0, 1.0], [5.0, 5.0, 1.0]]], jnp.float32
+    )
+    w = _barycentric(jnp.arange(4.0), jnp.arange(4.0), fv)  # (1, P, 3)
+    assert not bool(jnp.any(w[..., 0] > 0)), "degenerate face passed inside test"
+
+    coeffs, nondeg = _affine_coeffs(fv[None])  # (1, 1, 9), (1, 1)
+    assert coeffs.shape == (1, 1, 9)
+    assert not bool(nondeg[0, 0])
+
+
+def test_visibility_uses_mesh_sized_capacity():
+    """get_visibility must not silently drop faces of a FLAME-sized mesh
+    through the fixed rasterize default (review finding: dropped candidates
+    mark their vertices invisible with no overflow signal)."""
+    res = synthetic_flame_resources(seed=3, n_vertices=203)
+    v = jnp.asarray(res.v_template)[None]
+    # NDC-normalize the template to fill the screen.
+    v = (v - v.mean(axis=1, keepdims=True)) / (
+        jnp.abs(v - v.mean(axis=1, keepdims=True)).max() + 1e-6
+    )
+    vis = get_visibility(v, jnp.asarray(res.faces), 64, 64)
+    assert vis.shape == (1, res.n_vertices)
+    assert bool(jnp.any(vis > 0))  # something is visible front-on
