@@ -76,7 +76,18 @@ def import_ffhq_lmdb(
             key = f"{resolution}-{str(i).zfill(5)}".encode("utf-8")
             img = Image.open(io.BytesIO(txn.get(key))).convert("RGB")
             images[i] = np.asarray(img, np.uint8)
-            entry = params_raw[i] if not isinstance(params_raw, dict) else params_raw[i]
+            # The reference .npy is an object array of per-image dicts; a
+            # top-level dict variant keys entries by dense int or by the
+            # zero-padded image stem.
+            if isinstance(params_raw, dict):
+                entry = params_raw.get(i, params_raw.get(str(i).zfill(5)))
+                if entry is None:
+                    raise KeyError(
+                        f"flame-params dict has neither key {i} nor "
+                        f"'{str(i).zfill(5)}'"
+                    )
+            else:
+                entry = params_raw[i]
             flame[i] = _assemble_flame_vector(entry)
     images.flush()
 

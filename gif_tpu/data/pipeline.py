@@ -24,6 +24,7 @@ Reference behaviors preserved:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, Optional
@@ -160,11 +161,28 @@ class SyntheticFlameDataset(FlameDataset):
 
 
 def load_packed_dataset(path: str, **kwargs) -> FlameDataset:
-    """Load an ``.npz`` produced by gif_tpu.data.lmdb_import (keys: images,
-    flame_params, optional bad_images); images may be a separate mem-mapped
-    ``.npy`` referenced by the ``images_path`` key."""
+    """Load an ``.npz`` produced by gif_tpu.data.lmdb_import (keys:
+    flame_params, optional bad_images, and EITHER an inline ``images``
+    array OR an ``images_path`` key naming a separate mem-mapped ``.npy``
+    — the importer writes the latter so the uint8 frames never enter the
+    zip archive)."""
     data = np.load(path, allow_pickle=False, mmap_mode="r")
-    images = data["images"]
+    if "images" in data:
+        images = data["images"]
+    elif "images_path" in data:
+        # The recorded path (importer-time) first; else the sibling .npy
+        # next to the npz, so a relocated dataset directory keeps working.
+        img_path = str(data["images_path"])
+        if not os.path.exists(img_path):
+            img_path = os.path.join(
+                os.path.dirname(os.path.abspath(path)), os.path.basename(img_path)
+            )
+        images = np.load(img_path, mmap_mode="r")
+    else:
+        raise KeyError(
+            f"{path} carries neither an 'images' array nor an 'images_path' "
+            "reference"
+        )
     return FlameDataset(
         images=images,
         flame_params=data["flame_params"],

@@ -269,10 +269,15 @@ def _blur4_vjp_fwd(x, taps, pads):
 def _blur4_vjp_bwd(taps, pads, _, g):
     # Transpose of correlate(pad(x), flip(t)) is correlate(pad'(g), t) with
     # pad' = L-1-p per side (checked against jax.grad of the XLA formulation
-    # in tests/test_blur_pallas.py).
+    # in tests/test_blur_pallas.py).  Expressed through the custom_vjp
+    # wrapper (flipping the taps to cancel the wrapper's own flip) rather
+    # than the raw pallas impl, so EVERY differentiation order stays inside
+    # the custom rule — the R1 penalty takes grad-of-grad through the
+    # discriminator's blurs, and a raw pallas_call in the cotangent graph
+    # has no JVP rule (trace-time AssertionError).
     p0y, p1y, p0x, p1x = pads
     tpads = (3 - p0y, 3 - p1y, 3 - p0x, 3 - p1x)
-    return (_blur4_fwd_impl(g, tuple(taps), tpads),)
+    return (blur4_pallas(g, tuple(taps)[::-1], tpads),)
 
 
 blur4_pallas.defvjp(_blur4_vjp_fwd, _blur4_vjp_bwd)

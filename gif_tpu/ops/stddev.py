@@ -23,6 +23,13 @@ def minibatch_stddev(
     n, h, w, c = x.shape
     g = min(n, group_size)
     f = num_features
+    if n % g or c % f:
+        raise ValueError(
+            f"minibatch_stddev needs batch divisible by min(batch, "
+            f"group_size)={g} and channels divisible by num_features={f}; "
+            f"got batch {n}, channels {c} (reference constraint, "
+            "stg2_discriminator.py:56-65)"
+        )
     # (g, n//g, F, c//F, h, w) grouping over the *leading* axis, matching the
     # reference's ``view(group, -1, ...)``.
     y = x.reshape(g, n // g, h, w, f, c // f)

@@ -30,9 +30,13 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def maybe_save(self, state: TrainState) -> bool:
-        """Save iff the step hits the cadence (reference: every 1000 iters)."""
-        step = int(state.step)
+    def maybe_save(self, state: TrainState, step: Optional[int] = None) -> bool:
+        """Save iff the step hits the cadence (reference: every 1000 iters).
+
+        Pass ``step`` (the loop's python counter) when calling per
+        iteration: reading ``int(state.step)`` is a blocking device->host
+        sync that would stall the dispatch pipeline every step."""
+        step = int(state.step) if step is None else step
         if step % self.save_every != 0:
             return False
         self.save(state)

@@ -184,10 +184,15 @@ def train(
                     resolution=cfg.max_size,
                     fid=fid,
                 )
+            # Don't charge the FID sweep to the next window's imgs/sec.
+            t_last = time.perf_counter()
 
         # Orbax is multihost-native: every process participates (its manager
         # runs internal sync barriers) and the primary host does the writes.
-        ckpt.maybe_save(state)
+        # The python counter (not int(state.step)) keys the cadence — the
+        # device readback would block the dispatch pipeline every step.
+        if ckpt.maybe_save(state, step=i + 1):
+            t_last = time.perf_counter()
 
     ckpt.save(state)
     return state

@@ -47,13 +47,19 @@ def r1_penalty(d_apply, d_params, real_image, condition, weight: float = 5.0):
     return weight * per_sample.mean()
 
 
-def path_length_penalty(g_apply_z, z, pl_mean, decay: float = 0.01, rng=None):
+def path_length_penalty(
+    g_apply_z, z, pl_mean, decay: float = 0.01, rng=None, axis_name=None
+):
     """StyleGAN2 PPL on the z->image jacobian.
 
     Args:
       g_apply_z: z -> images (B, H, W, 3); closure over params/cond.
       z: (B, 512) latent (requires grad).
       pl_mean: scalar running mean of path lengths.
+      axis_name: mapped mesh axis to average the path length over (pass
+        "data" inside the sharded step): ``pl_mean`` lives in the
+        replicated train state, so the update must be identical on every
+        shard.
 
     Returns:
       (penalty, new_pl_mean).
@@ -64,6 +70,8 @@ def path_length_penalty(g_apply_z, z, pl_mean, decay: float = 0.01, rng=None):
     )
     (grads,) = vjp(noise)
     lengths = jnp.mean(jnp.sqrt(jnp.sum(grads**2, axis=1)))
+    if axis_name is not None:
+        lengths = jax.lax.pmean(lengths, axis_name)
     new_mean = pl_mean + decay * (lengths - pl_mean)
     penalty = (lengths - new_mean) ** 2
     return penalty, new_mean
@@ -79,6 +87,14 @@ def derangement_indices(rng, n: int) -> jnp.ndarray:
     """A fixed-point-free permutation of range(n) via a random cyclic shift
     (reference get_unique_shuffle_indices, generic_utils.py:20-30 — used by
     the shuffled-condition negative-sample path, train.py:161-167)."""
+    if n < 2:
+        # randint(1, 1) has an empty range and the identity is a fixed
+        # point — the "shuffled" negative would equal the positive pair,
+        # silently training on positives as negatives.
+        raise ValueError(
+            f"derangement needs n >= 2 (got per-shard batch {n}); raise the "
+            "global batch or use fewer mesh devices"
+        )
     shift = jax.random.randint(rng, (), 1, n)
     return (jnp.arange(n) + shift) % n
 

@@ -287,7 +287,12 @@ def make_train_step(
 
             pl_mean = pl_mean_in
             if cfg.gen_reg_type.lower() == "path_len_reg":
-                z = jax.random.normal(rng_pl, (real.shape[0], 512))
+                # Independent keys for z and the projection noise: PPL's
+                # estimator E[|J^T n|] needs n independent of z, and
+                # threefry's normal(key, shape) reuses the same counter
+                # stream regardless of shape.
+                rng_z, rng_noise = jax.random.split(rng_pl)
+                z = jax.random.normal(rng_z, (real.shape[0], 512))
 
                 def gen_from_z(zz):
                     return gen.apply(
@@ -298,7 +303,16 @@ def make_train_step(
                     )
 
                 ppl, pl_mean = L.path_length_penalty(
-                    gen_from_z, z, pl_mean_in, rng=rng_pl
+                    gen_from_z,
+                    z,
+                    pl_mean_in,
+                    rng=rng_noise,
+                    # Per-shard z/noise differ; pl_mean is carried in the
+                    # REPLICATED train state, so the running mean must be
+                    # updated from the cross-shard mean length or each
+                    # device silently carries a divergent copy (and the
+                    # checkpoint saves an arbitrary shard's).
+                    axis_name="data" if mesh is not None else None,
                 )
                 loss = loss + 2.0 * ppl
                 aux["ppl"] = ppl
@@ -331,7 +345,11 @@ def make_train_step(
                         f"got per-shard batch {flame.shape[0]} — raise the "
                         "global batch or use fewer mesh devices"
                     )
-                flm_interp = L.interpolate_flame_batch(flame, rng_interp)
+                # Independent keys for the interpolation weights and the
+                # loss's own draws (identity pick + pair sampling) — one
+                # key consumed twice yields correlated streams.
+                rng_lerp, rng_tex = jax.random.split(rng_interp)
+                flm_interp = L.interpolate_flame_batch(flame, rng_lerp)
 
                 def gen_for_interp(cond_maps, idx):
                     return gen.apply(
@@ -345,7 +363,7 @@ def make_train_step(
                     res,
                     flm_interp,
                     gen_for_interp,
-                    rng_interp,
+                    rng_tex,
                     rendered_flame_as_condition=cfg.rendered_flame_as_condition,
                     normal_maps_as_cond=cfg.normal_maps_as_cond,
                     max_ids=cfg.embedding_vocab_size,

@@ -154,3 +154,28 @@ def test_plan_rejects_uncoverable_geometry(monkeypatch):
     assert blur_pallas._plan(shape, (3, 3, 3, 3), 4) is None
     # The same budget with small pads stays coverable (hb=2 >= max pads=1).
     assert blur_pallas._plan(shape, (1, 1, 1, 1), 4) is not None
+
+
+@pytest.mark.parametrize("pads,gain", [((2, 2, 2, 2), 1.0), ((1, 1, 1, 1), 4.0)])
+def test_second_order_gradients_match(pads, gain):
+    """The R1 penalty differentiates the norm of an input gradient w.r.t.
+    parameters — grad-of-grad THROUGH the blur.  The custom VJP must stay
+    differentiable to every order (its bwd recurses through the custom_vjp
+    wrapper, not the raw pallas impl, which has no JVP rule)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 10, 9, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+
+    def r1_like(blur_fn):
+        def inner(w):
+            def d_out(x):
+                return jnp.sum(blur_fn(x * w[None, None, None, :], pads, gain) ** 2)
+
+            gx = jax.grad(d_out)(x)
+            return jnp.sum(gx**2)
+
+        return jax.grad(inner)(w)
+
+    got = r1_like(_pallas_blur)
+    want = r1_like(_xla_blur)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

@@ -106,3 +106,11 @@ def test_import_ffhq_lmdb_with_stub(tmp_path, monkeypatch):
         np.asarray(params[0]["lit"], np.float32).reshape(-1),
         rtol=1e-6,
     )
+    # The loader must open the importer's own output (review finding: it
+    # previously required an inline 'images' key the importer never writes).
+    from gif_tpu.data.pipeline import load_packed_dataset
+
+    ds = load_packed_dataset(out)
+    assert ds.images.shape == (n, res, res, 3)
+    assert len(ds) == n - 1  # one bad image excluded
+    np.testing.assert_array_equal(np.asarray(ds.images[1]), truth[1])
