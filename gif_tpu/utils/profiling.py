@@ -38,10 +38,13 @@ def force_ready(tree) -> float:
 
 
 class StepTimer:
-    """Median wall time of a chained step function.
+    """MEAN wall time per step of a chained step function.
 
     ``fn(carry, i) -> carry`` is called ``iters`` times with the carry fed
-    back (serializing execution); one readback closes the chain.
+    back (serializing execution); ONE readback closes the chain.  A median
+    would need a readback per iteration, which on the dispatch-only axon
+    platform both serializes host<->device and perturbs what is measured —
+    the deliberate trade is straggler sensitivity for an unperturbed chain.
     """
 
     def __init__(self, warmup: int = 1):

@@ -73,3 +73,27 @@ def save_set_of_images(path: str, prefix: str, images_01: np.ndarray) -> None:
     imgs = np.clip(np.asarray(images_01) * 255, 0, 255).astype(np.uint8)
     for i, img in enumerate(imgs):
         save_png(os.path.join(path, f"{prefix}{i}.png"), img)
+
+
+def save_animation(frames, path: str, fps: int = 15) -> None:
+    """Write uint8 frames (arrays or PIL Images) as an animated GIF.
+
+    One home for the frames->GIF save (generate_gif / animate_teaser /
+    voca_animation all produce animations; reference my_utils/
+    generate_gif.py:188-234 + plots/voca scripts).  Only ``.gif`` is
+    supported without ffmpeg in the environment.
+    """
+    from PIL import Image
+
+    imgs = [f if isinstance(f, Image.Image) else Image.fromarray(f) for f in frames]
+    if not imgs:
+        raise ValueError("save_animation got no frames")
+    if not path.endswith(".gif"):
+        raise ValueError("only .gif output is supported without ffmpeg")
+    imgs[0].save(
+        path,
+        save_all=True,
+        append_images=imgs[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )

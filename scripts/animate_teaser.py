@@ -92,10 +92,10 @@ def main():
     save_set_of_images(
         os.path.join(args.out_dir, "renders"), "mesh_", (conds[..., :3] + 1) / 2
     )
-    frames = [Image.fromarray(f) for f in to_uint8(images)]
+    from gif_tpu.utils.viz import save_animation
+
     gif = os.path.join(args.out_dir, "teaser_animation.gif")
-    frames[0].save(gif, save_all=True, append_images=frames[1:],
-                   duration=int(1000 / args.fps), loop=0)
+    save_animation(to_uint8(images), gif, fps=args.fps)
     print(f"wrote {len(seq)} frames + {gif}")
 
 

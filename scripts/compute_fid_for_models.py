@@ -82,7 +82,9 @@ def main():
     if args.data and os.path.exists(args.data):
         d = np.load(args.data, mmap_mode="r")
         dataset_params = np.asarray(d["flame_params"])
-        real_images = np.asarray(d["images"][: args.n_samples]) / 255.0
+        # Stays uint8 (mem-mapped slice): FidComputer.activations scales
+        # per chunk, so the real set never materializes in float.
+        real_images = d["images"][: args.n_samples]
 
     rng = np.random.default_rng(0)
     base = random_flame_params(rng, args.n_samples, dataset_params)
@@ -91,25 +93,34 @@ def main():
     g_params, buffers = load_params(args, cfg)
     sampler = FlameSampler(cfg, res, g_params, buffers)
 
-    if real_images is None:
+    from gif_tpu.eval.fid import activation_statistics, frechet_distance
+
+    def generated_statistics(flame):
+        # Streamed: batches flow straight through Inception, host memory
+        # O(batch) — sampler.sample() would hold ~7.9 GB of f32 images
+        # (plus the unused condition maps) at the 10k protocol scale.
+        acts = []
+        for img, _ in sampler.sample_batches(flame, indices):
+            gen01 = np.clip((np.asarray(img) + 1.0) / 2.0, 0.0, 1.0)
+            acts.append(fid_computer.activations(gen01))
+        return activation_statistics(np.concatenate(acts, axis=0))
+
+    if real_images is not None:
+        mu_sigma_real = fid_computer.statistics(real_images)
+    else:
+        # Reference = UNCORRUPTED (sigma=0) generations, computed
+        # explicitly — not whatever sigma happens to come first in the
+        # sweep list.
         print("WARNING: no real images; using sigma=0 generations as the "
               "reference distribution")
+        mu_sigma_real = generated_statistics(
+            corrupt_flame(base, 0.0, args.mode, rng)
+        )
 
     results = {}
-    mu_sigma_real = None
     for sigma in args.sigmas:
         flame = corrupt_flame(base, sigma, args.mode, rng)
-        images, _ = sampler.sample(flame, indices)
-        if mu_sigma_real is None:
-            if real_images is not None:
-                mu_sigma_real = fid_computer.statistics(real_images)
-            else:
-                mu_sigma_real = fid_computer.statistics(
-                    np.clip((images + 1) / 2, 0, 1)
-                )
-        from gif_tpu.eval.fid import frechet_distance
-
-        mu_g, s_g = fid_computer.statistics(np.clip((images + 1) / 2, 0, 1))
+        mu_g, s_g = generated_statistics(flame)
         fid = frechet_distance(*mu_sigma_real, mu_g, s_g)
         results[str(sigma)] = fid
         print(f"sigma {sigma}: FID {fid:.3f}")

@@ -30,16 +30,9 @@ def interpolate_keyframes(keys: np.ndarray, steps_per_seg: int) -> np.ndarray:
 
 
 def save_animation(frames_uint8, path, fps=15):
-    from PIL import Image
+    from gif_tpu.utils.viz import save_animation as _save
 
-    imgs = [Image.fromarray(f) for f in frames_uint8]
-    if path.endswith(".gif"):
-        imgs[0].save(
-            path, save_all=True, append_images=imgs[1:],
-            duration=int(1000 / fps), loop=0,
-        )
-    else:
-        raise ValueError("only .gif output is supported without ffmpeg")
+    _save(frames_uint8, path, fps=fps)
 
 
 def main():

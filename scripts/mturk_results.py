@@ -92,9 +92,19 @@ def main():
     p.add_argument("--base_url", type=str, default="https://example.com/study/")
     p.add_argument("--results", type=str, default=None,
                    help="downloaded result CSV (score / likert modes)")
-    p.add_argument("--out", type=str, default="batch.csv")
+    p.add_argument(
+        "--out",
+        type=str,
+        default=None,
+        help="output path; defaults to batch.csv (csv mode) or "
+        "<mode>_plot.png (score/likert modes — matplotlib figures)",
+    )
     p.add_argument("--seed", type=int, default=2)  # create_csv.py:24
     args = p.parse_args()
+    if args.out is None:
+        # csv mode writes a HIT batch CSV; score/likert write matplotlib
+        # figures (savefig rejects a .csv extension).
+        args.out = "batch.csv" if args.mode == "csv" else f"{args.mode}_plot.png"
 
     if args.mode == "csv":
         sub = "faces" if args.study == "association" else "model_a"

@@ -104,7 +104,16 @@ def main():
     cfg = get_config(args.run_id, embedding_vocab_size=args.vocab)
     res = load_flame_resources(args.flame_resources)
     g_params, buffers = load_params(args, cfg)
-    sampler = FlameSampler(cfg, res, g_params, buffers, batch_size=8)
+    # Eye-centering is applied HERE (host-side) rather than inside the
+    # sampler, so the `flame` rows below carry the SAME camera the images
+    # were generated under — the texture steal projects with that camera,
+    # and a stale pre-centering cam would sample misaligned pixels
+    # (landmark_overlay.py uses the same pattern).
+    from gif_tpu.flame.camera import position_to_given_location
+
+    sampler = FlameSampler(
+        cfg, res, g_params, buffers, batch_size=8, eye_center=False
+    )
 
     ext_rows = None
     if args.flame_npz_dir:
@@ -122,6 +131,7 @@ def main():
         else:
             rows = build_variation_rows(base)
         flame = np.stack([r[1] for r in rows])
+        flame = np.asarray(position_to_given_location(res, jnp.asarray(flame)))
         idx = np.full(len(rows), rng.integers(0, args.vocab), np.int32)
         images, conds = sampler.sample(flame, idx)
         d = os.path.join(args.out_dir, f"identity_{ident}")

@@ -94,6 +94,11 @@ def main():
         if not dirs:
             raise SystemExit(f"no selected_ids_* dirs under {args.out_dir}")
         n_frames = len(glob.glob(os.path.join(dirs[0], "[0-9]*.png")))
+        if n_frames == 0:
+            raise SystemExit(
+                f"no generated frames under {dirs[0]} — run the 'frames' "
+                "mode without --gt first (mesh_* files alone cannot grid)"
+            )
         frames = []
         for fi in range(n_frames):
             cells = [
@@ -105,9 +110,10 @@ def main():
             if os.path.exists(mesh):
                 cells.insert(len(cells) // 2, np.array(Image.open(mesh))[..., :3])
             frames.append(Image.fromarray(assemble_grid_frame(cells)))
+        from gif_tpu.utils.viz import save_animation
+
         out = os.path.join(args.out_dir, "voca_selected_ids.gif")
-        frames[0].save(out, save_all=True, append_images=frames[1:],
-                       duration=int(1000 / args.fps), loop=0)
+        save_animation(frames, out, fps=args.fps)
         print(f"wrote {n_frames}-frame grid animation to {out}")
         return
 

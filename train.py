@@ -86,6 +86,12 @@ def main():
         )
 
     fid_computer = None
+    if args.inception_weights and not os.path.exists(args.inception_weights):
+        # Loud, not silent: a typo'd path would otherwise train for days
+        # logging NaN FID with no indication the flag was dropped.
+        raise SystemExit(
+            f"--inception_weights {args.inception_weights} does not exist"
+        )
     if args.inception_weights and os.path.exists(args.inception_weights):
         import jax.numpy as jnp
         from gif_tpu.eval import FidComputer
