@@ -19,11 +19,14 @@ tap count.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+from gif_tpu.ops import blur_pallas
 
 
 def make_resample_kernel(k) -> jnp.ndarray:
@@ -178,7 +181,23 @@ def downsample_2x(x, taps=(1, 3, 3, 1), factor: int = 2):
 
 
 def blur(x, pad, taps=(1, 3, 3, 1), upsample_factor: int = 1):
-    """FIR blur with explicit pad (reference Blur, :136-152)."""
+    """FIR blur with explicit pad (reference Blur, :136-152).
+
+    With ``GIF_TPU_PALLAS_BLUR=1``, 4-tap blurs on big-enough TPU maps run
+    through the fused Pallas stencil kernel (ops/blur_pallas.py) — one VMEM
+    round trip instead of two depthwise convs that XLA executes well off
+    the HBM roofline.  Opt-in (default off) until the kernel is validated
+    on hardware; interpret-mode parity (incl. second-order gradients) is
+    pinned by tests/test_blur_pallas.py.
+    """
     gain = float(upsample_factor**2) if upsample_factor > 1 else 1.0
+    if len(pad) == 2:
+        pad4 = (pad[0], pad[1], pad[0], pad[1])
+    else:
+        pad4 = tuple(pad)
+    if os.environ.get(
+        "GIF_TPU_PALLAS_BLUR", "0"
+    ) == "1" and blur_pallas.supports(x.shape, taps, 1, 1, pad4, x.dtype.itemsize):
+        return blur_pallas.blur4_pallas(x, blur_pallas.taps_1d(tuple(taps), gain), pad4)
     kernel = _cached_kernel(tuple(taps), gain)
-    return upfirdn2d(x, kernel, pad=pad)
+    return upfirdn2d(x, kernel, pad=pad4)
