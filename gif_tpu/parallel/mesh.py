@@ -71,6 +71,38 @@ def create_mesh(
     return Mesh(np.array(devices), tuple(axis_names))
 
 
+def choose_data_mesh_size(
+    batch_size: int,
+    n_dev: int,
+    n_proc: int = 1,
+    min_per_shard: int = 1,
+) -> int:
+    """How many devices the 1-D data mesh should span (pure logic, unit-
+    tested; used by the train.py CLI).
+
+    Single process: shrink to the largest device count that divides the
+    batch with >= ``min_per_shard`` samples per shard (spare devices idle,
+    like the reference's DataParallel with a short batch).  Multi-process:
+    the mesh MUST span all global devices — a prefix mesh would orphan
+    remote processes' devices, and a collapse to one device would train
+    independent diverging copies — so invalid geometry raises instead.
+    """
+    if n_dev <= 1:
+        return 1
+    if n_proc > 1:
+        if batch_size % n_dev or batch_size // n_dev < min_per_shard:
+            raise ValueError(
+                f"multihost run needs batch_size divisible by the {n_dev} "
+                f"global devices with >= {min_per_shard} samples per "
+                f"shard; got batch_size={batch_size}"
+            )
+        return n_dev
+    use = min(n_dev, max(1, batch_size // min_per_shard))
+    while batch_size % use:  # shard_map needs even division
+        use -= 1
+    return use
+
+
 def local_data_parallel_mesh() -> Optional[Mesh]:
     """All (global) devices as a data mesh, or None on a single device."""
     if len(jax.devices()) <= 1:

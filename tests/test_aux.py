@@ -125,3 +125,27 @@ def test_step_timer():
 
     dt = StepTimer().time(fn, jnp.zeros((8, 8)), iters=3)
     assert dt >= 0
+
+
+def test_choose_data_mesh_size():
+    """Mesh-geometry policy (train.py CLI): single-process shrinks to a
+    dividing device count with the per-shard minimum; multihost must span
+    ALL global devices or raise (a prefix mesh orphans remote processes'
+    devices; one device = independent diverging copies)."""
+    import pytest
+    from gif_tpu.parallel.mesh import choose_data_mesh_size
+
+    # Single process: largest divisor of the batch within the device count.
+    assert choose_data_mesh_size(16, 8) == 8
+    assert choose_data_mesh_size(16, 5) == 4      # 5 doesn't divide 16
+    assert choose_data_mesh_size(16, 8, min_per_shard=3) == 4  # >=3/shard
+    assert choose_data_mesh_size(3, 8, min_per_shard=3) == 1
+    assert choose_data_mesh_size(16, 1) == 1
+
+    # Multihost: all devices or a loud error.
+    assert choose_data_mesh_size(16, 8, n_proc=2) == 8
+    assert choose_data_mesh_size(24, 8, n_proc=2, min_per_shard=3) == 8
+    with pytest.raises(ValueError):
+        choose_data_mesh_size(16, 5, n_proc=2)     # not divisible
+    with pytest.raises(ValueError):
+        choose_data_mesh_size(16, 8, n_proc=2, min_per_shard=3)  # 2/shard

@@ -132,28 +132,16 @@ def main():
     n_dev = len(jax.devices())
     mesh = None
     if not args.no_mesh and n_dev > 1:
+        from gif_tpu.parallel.mesh import choose_data_mesh_size
+
         # The interp loss pairs interpolants within a shard: keep >=3
-        # samples per device (shrinking the mesh beats crashing; the
-        # spare devices idle, as they would under the reference's
-        # DataParallel with a short batch).
+        # samples per device.  Single-process geometry shrinks; multihost
+        # geometry must span all global devices and raises when it can't
+        # (see choose_data_mesh_size).
         min_per_shard = 3 if cfg.apply_texture_space_interpolation_loss else 1
-        if jax.process_count() > 1:
-            # Multihost: every process feeds its local shard of the global
-            # batch, so the mesh must span ALL global devices — a prefix
-            # mesh would orphan some processes' devices (and devices=1
-            # would silently train independent diverging copies).  Validate
-            # instead of shrinking.
-            if cfg.batch_size % n_dev or cfg.batch_size // n_dev < min_per_shard:
-                raise ValueError(
-                    f"multihost run needs batch_size divisible by the "
-                    f"{n_dev} global devices with >= {min_per_shard} "
-                    f"samples per shard; got batch_size={cfg.batch_size}"
-                )
-            use = n_dev
-        else:
-            use = min(n_dev, max(1, cfg.batch_size // min_per_shard))
-            while cfg.batch_size % use:  # shard_map needs even division
-                use -= 1
+        use = choose_data_mesh_size(
+            cfg.batch_size, n_dev, jax.process_count(), min_per_shard
+        )
         if use > 1:
             mesh = Mesh(np.array(jax.devices()[:use]), ("data",))
             print(f"data-parallel mesh over {use} devices")
