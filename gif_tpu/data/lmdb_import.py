@@ -105,20 +105,104 @@ def import_ffhq_lmdb(
     return out
 
 
+def import_image_dir(
+    image_dir: str,
+    flame_params_file: str,
+    out_dir: str,
+    resolution: int = 256,
+    bad_images_file: str | None = None,
+    limit: int | None = None,
+) -> str:
+    """Pack a raw FFHQ-style image folder directly (no LMDB stage).
+
+    The reference pipeline is raw images -> multiscale LMDB
+    (prepare_lmdb/prepare_ffhq_multiscale_dataset.py) -> loader; since this
+    framework trains at a single resolution from packed arrays, users
+    coming from a plain image folder can skip the LMDB entirely.  Files
+    are taken in sorted name order (FFHQ's zero-padded stems make that the
+    dataset order the FLAME .npy is indexed by); non-target sizes are
+    bilinearly resized like the reference prep (PIL ANTIALIAS semantics).
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError(f"PIL is required for importing images: {e}") from e
+
+    os.makedirs(out_dir, exist_ok=True)
+    params_raw = np.load(flame_params_file, allow_pickle=True)
+    if params_raw.dtype == object and params_raw.ndim == 0:
+        params_raw = params_raw.item()
+
+    exts = (".png", ".jpg", ".jpeg")
+    names = sorted(
+        f for f in os.listdir(image_dir) if f.lower().endswith(exts)
+    )
+    if limit:
+        names = names[:limit]
+    if not names:
+        raise FileNotFoundError(f"no {exts} files under {image_dir}")
+    n = len(names)
+    images = np.lib.format.open_memmap(
+        os.path.join(out_dir, "images.npy"),
+        mode="w+",
+        dtype=np.uint8,
+        shape=(n, resolution, resolution, 3),
+    )
+    flame = np.zeros((n, 236), np.float32)
+    for i, name in enumerate(names):
+        img = Image.open(os.path.join(image_dir, name)).convert("RGB")
+        if img.size != (resolution, resolution):
+            img = img.resize((resolution, resolution), Image.LANCZOS)
+        images[i] = np.asarray(img, np.uint8)
+        if isinstance(params_raw, dict):
+            stem = os.path.splitext(name)[0]
+            entry = params_raw.get(i, params_raw.get(stem))
+            if entry is None:
+                raise KeyError(
+                    f"flame-params dict has neither key {i} nor '{stem}'"
+                )
+        else:
+            entry = params_raw[i]
+        flame[i] = _assemble_flame_vector(entry)
+    images.flush()
+
+    bad = np.zeros((0,), np.int64)
+    if bad_images_file and os.path.exists(bad_images_file):
+        bad = np.load(bad_images_file)["bad_images"].astype(np.int64)
+
+    out = os.path.join(out_dir, "dataset.npz")
+    np.savez(
+        out,
+        flame_params=flame,
+        bad_images=bad,
+        images_path=os.path.join(out_dir, "images.npy"),
+    )
+    return out
+
+
 def main():  # pragma: no cover
     import argparse
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--lmdb", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--lmdb", help="reference multiscale LMDB")
+    src.add_argument(
+        "--image_dir", help="raw FFHQ-style image folder (skips the LMDB stage)"
+    )
     p.add_argument("--flame_params", required=True)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--bad_images", default=None)
     p.add_argument("--limit", type=int, default=None)
     a = p.parse_args()
-    out = import_ffhq_lmdb(
-        a.lmdb, a.flame_params, a.out_dir, a.resolution, a.bad_images, a.limit
-    )
+    if a.lmdb:
+        out = import_ffhq_lmdb(
+            a.lmdb, a.flame_params, a.out_dir, a.resolution, a.bad_images, a.limit
+        )
+    else:
+        out = import_image_dir(
+            a.image_dir, a.flame_params, a.out_dir, a.resolution, a.bad_images, a.limit
+        )
     print(out)
 
 

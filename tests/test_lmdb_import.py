@@ -114,3 +114,54 @@ def test_import_ffhq_lmdb_with_stub(tmp_path, monkeypatch):
     assert ds.images.shape == (n, res, res, 3)
     assert len(ds) == n - 1  # one bad image excluded
     np.testing.assert_array_equal(np.asarray(ds.images[1]), truth[1])
+
+
+def test_import_image_dir(tmp_path):
+    """Raw image-folder import (no LMDB stage): sorted-name order, resize
+    to target, loader round-trip."""
+    from PIL import Image
+
+    res = 16
+    n = 3
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    truth = []
+    for i in range(n):
+        arr = rng.integers(0, 255, (res, res, 3), dtype=np.uint8)
+        truth.append(arr)
+        Image.fromarray(arr).save(img_dir / f"{str(i).zfill(5)}.png")
+    # An oversized frame exercises the resize path.
+    big = rng.integers(0, 255, (res * 2, res * 2, 3), dtype=np.uint8)
+    Image.fromarray(big).save(img_dir / f"{str(n).zfill(5)}.png")
+
+    params = np.array(
+        [
+            {
+                "shape": rng.standard_normal(100),
+                "exp": rng.standard_normal(50),
+                "pose": rng.standard_normal(6),
+                "cam": rng.standard_normal(3),
+                "tex": rng.standard_normal(50),
+                "lit": rng.standard_normal((9, 3)),
+            }
+            for _ in range(n + 1)
+        ],
+        dtype=object,
+    )
+    params_file = tmp_path / "flame.npy"
+    np.save(params_file, params, allow_pickle=True)
+
+    from gif_tpu.data.lmdb_import import import_image_dir
+    from gif_tpu.data.pipeline import load_packed_dataset
+
+    out = import_image_dir(
+        str(img_dir), str(params_file), str(tmp_path / "out"), resolution=res
+    )
+    ds = load_packed_dataset(out)
+    assert ds.images.shape == (n + 1, res, res, 3)
+    np.testing.assert_array_equal(np.asarray(ds.images[1]), truth[1])
+    np.testing.assert_allclose(
+        ds.flame_params[2, :100], np.asarray(params[2]["shape"], np.float32),
+        rtol=1e-6,
+    )
