@@ -80,6 +80,22 @@ def test_multi_slab_halo(monkeypatch):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_h_extension_matches(monkeypatch):
+    """Force the planner's H zero-extension (h_out with no budget-sized
+    divisor): (1, 28, 16, 8) pads (1,1,1,1) gives h_out=27 under a 16 KiB
+    budget — no divisor of 27/28/.../31 fits until the +5 extension makes
+    h_out 32 with hb=8.  Values must still match XLA exactly (the extra
+    rows blur zeros and are sliced off)."""
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 28, 16, 8)).astype(np.float32)
+    monkeypatch.setattr(blur_pallas, "_VMEM_BUDGET", 16 << 10)
+    plan = blur_pallas._plan(x.shape, (1, 1, 1, 1), 4)
+    assert plan is not None and plan[1] > 0, plan  # extension actually used
+    got = _pallas_blur(x, (1, 1, 1, 1), 1.0)
+    want = _xla_blur(x, (1, 1, 1, 1), 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_single_slab_matches(monkeypatch):
     rng = np.random.default_rng(3)
     x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
