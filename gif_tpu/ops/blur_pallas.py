@@ -2,10 +2,11 @@
 
 The reference resampling chains (model/stylegan2_common_layers.py:136-152)
 surround every up/down conv with a [1,3,3,1] FIR blur.  XLA lowers these to
-depthwise convolutions, which the TPU convolution emitter runs ~3-4x off the
-HBM roofline (depthwise work gives the MXU nothing to contract); profiled on
-the full train step they are the single largest non-matmul pool (~45 ms/step,
-150+ conv ops at 256px batch 16).
+depthwise convolutions, which the TPU convolution emitter runs well off the
+HBM roofline (depthwise work gives the MXU nothing to contract); profiled
+on the full train step (v5e, 256px batch 16) the blur passes and their
+odd-size convT intermediates are the single largest non-matmul pool
+(~35 ms/step of the 214 ms conv-fusion total — see ROUND3.md's table).
 
 This kernel computes BOTH separable passes in one VMEM round trip:
 
