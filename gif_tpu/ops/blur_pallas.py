@@ -12,13 +12,21 @@ This kernel computes BOTH separable passes in one VMEM round trip:
 
 - grid over (batch, H-slabs); channels stay whole (every GIF blur site has
   C <= 512, so a full-C slab row is a contiguous DMA) and ride the lane dim;
-- the output slab is a normal pipelined BlockSpec block (double-buffered by
-  the Pallas pipeline), while the input stays in HBM (``memory_space=ANY``)
-  and each step DMAs exactly the ``hb + 3`` halo rows it needs — edge slabs
-  use static-size clamped copies into a zero-filled scratch, so there is no
-  host-side padding pass and no redundant neighbour reads;
+- the input is zero-padded on the host (one jnp.pad, fused with the W tile
+  alignment pad) so every slab is a uniform ``hb + 3``-row window at offset
+  ``hi * hb`` — no edge cases in the kernel;
+- the input stays in HBM and its halo'd slabs are **manually
+  double-buffered across grid steps**: each step starts the DMA for the
+  NEXT slab into the other buffer before waiting on its own, so the halo
+  reads overlap compute (scratch and DMA semaphores persist across the
+  sequential TPU grid).  The first version of this kernel issued a
+  synchronous start/wait per step and measured ~100-150 GB/s on a v5e —
+  well under the two-pass XLA depthwise lowering; the overlap is the fix.
+  The output slab is a normal pipelined BlockSpec block (double-buffered
+  by the Pallas pipeline);
 - the vertical pass is 4 static leading-dim slices x taps, the horizontal
-  pass pads W (the sublane dim) in VMEM and takes 4 static sublane slices.
+  pass is 4 static sublane slices (the host pad already covers the
+  horizontal halo).
 
 The blur is linear, so the VJP is the same kernel with flipped taps and
 transposed pads (pad' = L-1-p, the full-correlation transpose), wired as a
@@ -41,73 +49,46 @@ _VMEM_BUDGET = 6 << 20
 
 
 def _blur_slab_kernel(
-    x_hbm,  # (B, H, Wp, C) in HBM (W padded to the 8-sublane tile)
+    x_hbm,  # (B, h_out_k + 3, Wpad, C) in HBM, fully zero-padded by the host
     out_ref,  # (1, hb, W_out_p, C) VMEM block
-    xslab,  # (hb + 3, Wp, C) VMEM scratch
-    sem,
+    xslab,  # (2, hb + 3, Wpad, C) VMEM double buffer
+    sem,  # (2,) DMA semaphores
     *,
     taps: tuple,
-    p0y: int,
-    p1y: int,
-    p0x: int,
-    rp: int,
     w_out: int,  # padded output width (the host slices back to logical)
     hb: int,
-    h: int,
-    w: int,  # padded input width
+    n_h: int,
+    total: int,  # b * n_h grid steps
 ):
-    hb_in = hb + 3
-    h_out = h + p0y + p1y - 3
     bi = pl.program_id(0)
     hi = pl.program_id(1)
-    n_h = pl.num_programs(1)
+    step = bi * n_h + hi
 
-    # Out rows [hi*hb, hi*hb + hb) need input rows [hi*hb - p0y, ... + hb_in);
-    # rows outside [0, h) are zero padding.  Top slab misses exactly p0y rows,
-    # the bottom slab misses bot_miss rows — both static, so each edge case is
-    # its own static-size DMA into a zero-filled scratch.
-    bot_miss = (h_out - hb) - p0y + hb_in - h  # rows past the image end
-
-    def copy(src_lo, dst_lo, rows):
+    # Slab `s` (global step order) reads the uniform hb+3-row window at
+    # row (s % n_h) * hb of batch s // n_h — host padding removed every
+    # edge case, so one descriptor shape covers all steps and the wait can
+    # rebuild the start's descriptor exactly.
+    def dma(s, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(src_lo, rows)],
-            xslab.at[pl.ds(dst_lo, rows)],
-            sem,
+            x_hbm.at[s // n_h, pl.ds((s % n_h) * hb, hb + 3)],
+            xslab.at[slot],
+            sem.at[slot],
         )
 
-    if n_h == 1:
-        # Single slab: hb == h_out; both edges in one copy.
-        xslab[...] = jnp.zeros_like(xslab)
-        cp = copy(0, p0y, h)
-        cp.start()
-        cp.wait()
-    else:
-        is_top = hi == 0
-        is_bot = hi == n_h - 1
+    slot = jax.lax.rem(step, 2)
 
-        @pl.when(jnp.logical_or(is_top, is_bot))
-        def _():
-            xslab[...] = jnp.zeros_like(xslab)
+    @pl.when(step == 0)
+    def _():
+        dma(step, slot).start()
 
-        @pl.when(is_top)
-        def _():
-            cp = copy(0, p0y, hb_in - p0y)
-            cp.start()
-            cp.wait()
+    # Prefetch the next slab into the other buffer before blocking on ours.
+    @pl.when(step + 1 < total)
+    def _():
+        dma(step + 1, 1 - slot).start()
 
-        @pl.when(is_bot)
-        def _():
-            cp = copy(h_out - hb - p0y, 0, hb_in - bot_miss)
-            cp.start()
-            cp.wait()
+    dma(step, slot).wait()
 
-        @pl.when(jnp.logical_and(~is_top, ~is_bot))
-        def _():
-            cp = copy(hi * hb - p0y, 0, hb_in)
-            cp.start()
-            cp.wait()
-
-    x = xslab[...]
+    x = xslab[slot]
     t = [jnp.asarray(tv, x.dtype) for tv in taps]
     # Vertical pass: 4 static leading-dim slices.
     v = (
@@ -116,13 +97,12 @@ def _blur_slab_kernel(
         + t[2] * x[2 : hb + 2]
         + t[3] * x[3 : hb + 3]
     )
-    # Horizontal pass: pad W (sublane dim) then 4 static sublane slices.
-    vp = jnp.pad(v, ((0, 0), (p0x, rp), (0, 0)))
+    # Horizontal pass: 4 static sublane slices (host pad covers the halo).
     out_ref[0] = (
-        t[0] * vp[:, 0:w_out]
-        + t[1] * vp[:, 1 : w_out + 1]
-        + t[2] * vp[:, 2 : w_out + 2]
-        + t[3] * vp[:, 3 : w_out + 3]
+        t[0] * v[:, 0:w_out]
+        + t[1] * v[:, 1 : w_out + 1]
+        + t[2] * v[:, 2 : w_out + 2]
+        + t[3] * v[:, 3 : w_out + 3]
     )
 
 
@@ -137,8 +117,10 @@ def taps_1d(taps: tuple, gain: float) -> tuple:
 
 
 def _pick_hb(h_out: int, w: int, c: int, itemsize: int) -> int:
-    per_row = w * c * itemsize * 4
-    hb = max(1, min(h_out, _VMEM_BUDGET // per_row))
+    # VMEM rows per slab height hb: 2*(hb+3) input double buffer + hb for
+    # the vertical intermediate + 2*hb pipelined output ≈ 5*hb + 6.
+    per_row = w * c * itemsize
+    hb = max(1, min(h_out, (_VMEM_BUDGET // per_row - 6) // 5))
     while h_out % hb:
         hb -= 1
     return hb
@@ -154,10 +136,8 @@ def _plan(shape, pads, itemsize: int):
     ``e`` extra output rows blur trailing zeros and are sliced off — and
     plans for ``h_out + e``.
 
-    Multi-slab bounds: the top slab reads ``hb + 3 - p0y`` rows from row 0 and
-    middle slabs read ``hb + 3`` rows from ``hi*hb - p0y`` — both must stay
-    inside ``[0, h)``, which needs ``hb >= max(p0y, p1y)`` and
-    ``hb + 3 - p0y <= h``.
+    The host pads the full halo (see ``_blur4_fwd_impl``), so the only
+    constraint is that ``hb`` divides the extended output height.
     """
     b, h, w, c = shape
     p0y, p1y, p0x, p1x = pads
@@ -165,12 +145,11 @@ def _plan(shape, pads, itemsize: int):
     w_out = w + p0x + p1x - 3
     if h_out < 1 or w_out < 1:
         return None
+    wpad = _round8(_round8(w_out) + 3)
     fallback = None
     for e in range(8):
-        he, h_oute = h + e, h_out + e
-        hb = _pick_hb(h_oute, _round8(w), c, itemsize)
-        if hb < h_oute and (hb < max(p0y, p1y) or hb + 3 - p0y > he):
-            continue
+        h_oute = h_out + e
+        hb = _pick_hb(h_oute, wpad, c, itemsize)
         if hb == h_oute or hb >= 8:
             return hb, e
         if fallback is None:
@@ -191,48 +170,40 @@ def _blur4_fwd_impl(x, taps: tuple, pads: tuple):
     if plan is None:
         raise ValueError(f"blur4_pallas cannot cover shape={x.shape} pads={pads}")
     hb, he = plan
-    if he:
-        # Zero-extend H so the slab height divides the (extended) output
-        # height; the extra rows blur zeros and are sliced off below.
-        x = jnp.pad(x, ((0, 0), (0, he), (0, 0), (0, 0)))
-        h += he
     h_out_k = h_out + he
-    # Mosaic requires every DMA'd extent on the sublane dim (W) to be
-    # 8-aligned — VMEM *and* HBM memrefs are (8,128)-tiled, so odd-width maps
-    # (the convT outputs, 2^k + 1) fail to compile otherwise.  Pad input and
-    # output W to the tile and slice back: XLA fuses the pad into the
-    # producer and the slice into the consumer, so neither is a standalone
-    # pass.  The kernel's in-VMEM right pad ``rp`` is widened so the
-    # horizontal window covers the padded output width (the extra columns
-    # blur zeros and are sliced away).
-    wp = _round8(w)
-    if wp != w:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    # One host pad covers everything the kernel reads: the vertical halo
+    # (p0y top, p1y + he bottom — total padded H = h_out_k + 3, so every
+    # hb+3-row slab window at hi*hb is in-bounds), the horizontal halo
+    # (p0x left), and the Mosaic alignment of the DMA'd sublane extent
+    # (W padded to a multiple of 8; HBM and VMEM memrefs are (8,128)-tiled,
+    # so odd-width maps — the convT outputs, 2^k + 1 — fail to compile
+    # otherwise).  The padded columns/rows blur zeros and are sliced off.
     w_out_p = _round8(w_out)
-    rp = max(max(0, p1x - (wp - w)), w_out_p + 3 - p0x - wp)
+    wpad = _round8(w_out_p + 3)
+    x = jnp.pad(
+        x,
+        ((0, 0), (p0y, p1y + he), (p0x, wpad - p0x - w), (0, 0)),
+    )
+    n_h = h_out_k // hb
     kernel = functools.partial(
         _blur_slab_kernel,
         taps=taps,
-        p0y=p0y,
-        p1y=p1y,
-        p0x=p0x,
-        rp=rp,
         w_out=w_out_p,
         hb=hb,
-        h=h,
-        w=wp,
+        n_h=n_h,
+        total=b * n_h,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, h_out_k // hb),
+        grid=(b, n_h),
         # HBM explicitly, not ANY: a VMEM-placed input would turn the halo
         # copy into a VMEM->VMEM memref_slice with stricter shape rules.
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, hb, w_out_p, c), lambda bi, hi: (bi, hi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h_out_k, w_out_p, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((hb + 3, wp, c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, hb + 3, wpad, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(x)

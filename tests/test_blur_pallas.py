@@ -81,14 +81,14 @@ def test_multi_slab_halo(monkeypatch):
 
 
 def test_h_extension_matches(monkeypatch):
-    """Force the planner's H zero-extension (h_out with no budget-sized
-    divisor): (1, 28, 16, 8) pads (1,1,1,1) gives h_out=27 under a 16 KiB
-    budget — no divisor of 27/28/.../31 fits until the +5 extension makes
-    h_out 32 with hb=8.  Values must still match XLA exactly (the extra
-    rows blur zeros and are sliced off)."""
+    """Force the planner's H zero-extension (prime h_out, so the only
+    unextended divisor is the hb=1 fallback): (1, 32, 16, 8) pads (1,1,1,1)
+    gives h_out=31 under a 40 KiB budget — the +1 extension makes h_out 32
+    with hb=8.  Values must still match XLA exactly (the extra rows blur
+    zeros and are sliced off)."""
     rng = np.random.default_rng(6)
-    x = rng.standard_normal((1, 28, 16, 8)).astype(np.float32)
-    monkeypatch.setattr(blur_pallas, "_VMEM_BUDGET", 16 << 10)
+    x = rng.standard_normal((1, 32, 16, 8)).astype(np.float32)
+    monkeypatch.setattr(blur_pallas, "_VMEM_BUDGET", 40 << 10)
     plan = blur_pallas._plan(x.shape, (1, 1, 1, 1), 4)
     assert plan is not None and plan[1] > 0, plan  # extension actually used
     got = _pallas_blur(x, (1, 1, 1, 1), 1.0)
@@ -158,18 +158,18 @@ def test_plan_covers_model_geometries(shape, pads):
 
 
 def test_plan_rejects_uncoverable_geometry(monkeypatch):
-    # Force multi-slab with a tiny VMEM budget: per_row = 16*8*4*4 = 2048
-    # bytes, so a 4 KiB budget caps hb at 2 (after the H-extension search
-    # too) — below the max(p0y, p1y) = 3 halo bound for pads (3,3,.,.),
-    # which no zero-extension can repair.  The plan must bail, making
-    # supports() (and therefore blur()) fall back to the XLA path instead
-    # of emitting an out-of-bounds halo DMA.
+    # Host-side full padding removed the old halo bounds, so the only
+    # uncoverable geometries left are degenerate outputs (fewer than one
+    # output row/column).  Anything else stays coverable even under a
+    # starvation budget (hb=1 fallback), keeping supports() honest about
+    # when blur() may call the kernel.
+    assert blur_pallas._plan((1, 2, 16, 8), (0, 0, 1, 1), 4) is None  # h_out<1
+    assert blur_pallas._plan((1, 16, 2, 8), (1, 1, 0, 0), 4) is None  # w_out<1
     shape = (1, 64, 16, 8)
     assert blur_pallas._plan(shape, (3, 3, 3, 3), 4) is not None
     monkeypatch.setattr(blur_pallas, "_VMEM_BUDGET", 4 << 10)
-    assert blur_pallas._plan(shape, (3, 3, 3, 3), 4) is None
-    # The same budget with small pads stays coverable (hb=2 >= max pads=1).
-    assert blur_pallas._plan(shape, (1, 1, 1, 1), 4) is not None
+    plan = blur_pallas._plan(shape, (3, 3, 3, 3), 4)
+    assert plan is not None and plan[0] >= 1  # starved but still coverable
 
 
 @pytest.mark.parametrize("pads,gain", [((2, 2, 2, 2), 1.0), ((1, 1, 1, 1), 4.0)])
