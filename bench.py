@@ -65,14 +65,22 @@ def main(run_id: int = 8):
     state, metrics = step_fn(state, data, key)
     _ = float(metrics["d_loss"])
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, metrics = step_fn(state, data, jax.random.fold_in(key, i))
-    _ = float(metrics["d_loss"])  # forces the whole dependent chain
-    dt = time.perf_counter() - t0
+    # Protocol (VERDICT r3 weak #5): >=3 independent timed chains of 10
+    # steps each, each chain closed by a scalar readback that forces the
+    # whole dependent computation; report the median chain and the spread
+    # so run-to-run noise is visible in the artifact.
+    n_iters, n_chains = 10, 3
+    rates = []
+    for c in range(n_chains):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, metrics = step_fn(
+                state, data, jax.random.fold_in(key, c * n_iters + i)
+            )
+        _ = float(metrics["d_loss"])  # forces the whole dependent chain
+        rates.append(batch * n_iters / (time.perf_counter() - t0))
 
-    imgs_per_sec = batch * n_iters / dt
+    imgs_per_sec = float(np.median(rates))
     baseline = 16.0 / 17.0  # imgs/sec from the reference's 17 s/iter anecdote
     metric = "ffhq256_train_imgs_per_sec_per_chip"
     line = {
@@ -80,6 +88,8 @@ def main(run_id: int = 8):
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 2),
+        "spread": round(max(rates) - min(rates), 3),
+        "chains": [round(r, 3) for r in rates],
     }
     if run_id != 8:
         line["render_overflow"] = float(metrics["render_overflow"])

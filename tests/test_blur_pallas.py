@@ -157,7 +157,7 @@ def test_plan_covers_model_geometries(shape, pads):
         assert blur_pallas._plan(out_shape, tpads, itemsize) is not None
 
 
-def test_plan_rejects_uncoverable_geometry(monkeypatch):
+def test_plan_rejects_only_degenerate_outputs(monkeypatch):
     # Host-side full padding removed the old halo bounds, so the only
     # uncoverable geometries left are degenerate outputs (fewer than one
     # output row/column).  Anything else stays coverable even under a

@@ -75,6 +75,7 @@ def test_generator_converted_forward_parity(apply_sqrt2):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.heavy
 def test_generator_converted_forward_parity_256px_full_scale():
     """Full 9-block generator at step=6 (256px), full channel widths — the
     complete flagship synthesis stack vs the actual reference torch code."""
@@ -119,6 +120,7 @@ def test_generator_converted_forward_parity_256px_full_scale():
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.heavy
 def test_discriminator_converted_forward_parity_256px_full_scale():
     """Full 256px discriminator (9-ch conditional input, every resblock +
     minibatch stddev + the CHW->HWC dense permutation) vs the reference."""

@@ -46,7 +46,7 @@ def test_child_env_pins_cpu_platform():
     assert "PALLAS_AXON_POOL_IPS" in ambient  # input not mutated
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_dryrun_multichip_subprocess_green_and_fast():
     t0 = time.time()
     graft.dryrun_multichip(8)  # raises on failure

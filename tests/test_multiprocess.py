@@ -23,7 +23,7 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # two subprocesses, compile-heavy
+pytestmark = pytest.mark.heavy  # two subprocesses, compile-heavy (nightly tier)
 
 _THIS = os.path.abspath(__file__)
 _REPO = os.path.dirname(os.path.dirname(_THIS))

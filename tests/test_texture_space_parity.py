@@ -22,7 +22,7 @@ visibility map downstream, reference losses.py:215-230).
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.heavy  # full-scale texture steal vs torch oracle (nightly tier)
 
 import torch
 
