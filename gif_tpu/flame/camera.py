@@ -93,3 +93,49 @@ def position_to_given_location(res, flame_batch: jnp.ndarray) -> jnp.ndarray:
 
     cam = solve_eye_camera(verts, cfg.eye_left_vertex, cfg.eye_right_vertex)
     return flame_batch.at[:, 156:159].set(cam.astype(flame_batch.dtype))
+
+
+# --- Legacy perspective-camera parameter dicts -------------------------------
+#
+# The reference's older FLAME_2020_revisited overlay path builds OpenCV-style
+# camera parameter dicts (reference my_utils/flm_dynamic_fit_overlay.py:5-32).
+# Carried for API parity; the shipped GIF configs use only the orthographic
+# (s, bx, by) camera above.  Keys: c (principal point), k (distortion), f
+# (focal), t (translation), r (rotation, Rodrigues).
+
+
+def camera_ringnet(cam) -> dict:
+    """RingNet camera vector (f, cx, cy) -> parameter dict (:5-11)."""
+    cam = np.asarray(cam)
+    return {
+        "c": cam[1:3],
+        "k": np.zeros(5),
+        "f": cam[0] * np.ones(2),
+        "t": np.zeros(3),
+        "r": np.zeros(3),
+    }
+
+
+def camera_dynamic(h_w, translation) -> dict:
+    """Resolution-scaled fixed-intrinsics camera (:14-22)."""
+    h, w = h_w
+    fscale = h / 256
+    return {
+        "c": np.array([w / 2, h / 2]),
+        "k": np.array([-0.19816071, 0.92822711, 0.0, 0.0, 0.0]),
+        "f": np.array([fscale * 4754.97941935, fscale * 4754.97941935]),
+        "t": np.asarray(translation),
+        "r": np.array([np.pi, 0.0, 0.0]),
+    }
+
+
+def camera_ringnetpp(h_w, trans, focal) -> dict:
+    """RingNet++ camera with explicit focal length (:25-32)."""
+    h, w = h_w
+    return {
+        "c": np.array([w / 2, h / 2]),
+        "k": np.zeros(5),
+        "f": focal * np.ones(2),
+        "t": np.asarray(trans),
+        "r": np.array([0.0, np.pi, 0.0]),
+    }

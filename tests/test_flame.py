@@ -319,3 +319,27 @@ def test_converter_box_downsample():
     np.testing.assert_allclose(
         _box_down2(dirs) @ code, _box_down2(dirs @ code), rtol=1e-5, atol=1e-5
     )
+
+
+def test_legacy_camera_param_dicts():
+    """Legacy perspective-camera dicts (reference flm_dynamic_fit_overlay.py:5-32)."""
+    from gif_tpu.flame.camera import camera_dynamic, camera_ringnet, camera_ringnetpp
+
+    rn = camera_ringnet(np.array([12.0, 3.0, 4.0]))
+    np.testing.assert_allclose(rn["f"], [12.0, 12.0])
+    np.testing.assert_allclose(rn["c"], [3.0, 4.0])
+    assert rn["k"].shape == (5,) and not rn["k"].any()
+    assert not rn["t"].any() and not rn["r"].any()
+
+    dyn = camera_dynamic((512, 512), np.array([0.0, 0.0, 2.0]))
+    np.testing.assert_allclose(dyn["c"], [256.0, 256.0])
+    # Focal scales with h/256 off the reference's fitted 4754.97941935 base.
+    np.testing.assert_allclose(dyn["f"], [2 * 4754.97941935] * 2)
+    np.testing.assert_allclose(dyn["k"][:2], [-0.19816071, 0.92822711])
+    np.testing.assert_allclose(dyn["r"], [np.pi, 0.0, 0.0])
+    np.testing.assert_allclose(dyn["t"], [0.0, 0.0, 2.0])
+
+    pp = camera_ringnetpp((256, 192), np.array([0.1, 0.2, 0.3]), focal=5000.0)
+    np.testing.assert_allclose(pp["c"], [96.0, 128.0])
+    np.testing.assert_allclose(pp["f"], [5000.0, 5000.0])
+    np.testing.assert_allclose(pp["r"], [0.0, np.pi, 0.0])
