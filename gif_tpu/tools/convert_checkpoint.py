@@ -77,7 +77,25 @@ def _to_rgb(sd: dict, prefix: str) -> dict:
 
 def convert_generator(sd: dict, n_blocks: int = 9, n_mlp: int = 8):
     """torch StyledGenerator state_dict -> (params, buffers) flax trees."""
+    from gif_tpu.tools.manifest import check_manifest
+
     sd = _strip_module(sd)
+    # Fail loudly on the anchors before walking the blocks: a checkpoint from
+    # the wrong model (or a truncated download) should name every problem at
+    # once, not die on the first KeyError (reference ckpt layout:
+    # train.py:254-265, stg2_generator.py:212-247).
+    check_manifest(
+        sd,
+        {
+            "image_embedding.embd_weight": (None, 512),
+            "generator.const_input.input": (1, 512, 4, 4),
+            "z_to_w.1.weight": (512, 512),
+            f"z_to_w.{n_mlp}.weight": (512, 512),
+            "generator.progression.0.st_cv1.conv.weight": (1, 512, 512, 3, 3),
+            "generator.to_rgb.0.conv.weight": (1, 3, 512, 1, 1),
+        },
+        "generator state_dict",
+    )
     synthesis: dict = {
         "const_input": sd["generator.const_input.input"].transpose(0, 2, 3, 1)
     }
@@ -115,7 +133,21 @@ def _conv_layer(sd: dict, prefix: str, downsample: bool, activate: bool = True):
 def convert_discriminator(sd: dict, size: int = 256):
     import math
 
+    from gif_tpu.tools.manifest import check_manifest
+
     sd = _strip_module(sd)
+    check_manifest(
+        sd,
+        {
+            # 1x1 fromRGB over image+condition channels (6 or 9 depending on
+            # the run's condition set, train.py:350-353).
+            "convs.0.0.weight": (None, None, 1, 1),
+            "final_conv.0.weight": (512, 513, 3, 3),  # +1 stddev feature
+            "final_linear.0.weight": (512, 512 * 4 * 4),
+            "final_linear.1.weight": (1, 512),
+        },
+        "discriminator state_dict",
+    )
     log_size = int(math.log2(size))
     params: dict = {"from_rgb": _conv_layer(sd, "convs.0", downsample=False)}
     for j, i in enumerate(range(log_size, 2, -1)):
@@ -141,7 +173,14 @@ def convert_discriminator(sd: dict, size: int = 256):
 def convert_checkpoint(model_path: str, out_path: str, size: int = 256) -> str:
     import torch
 
+    from gif_tpu.tools.manifest import require_keys
+
     ckpt = torch.load(model_path, map_location="cpu")
+    require_keys(
+        ckpt,
+        ["generator", "generator_running", "discriminator_flm"],
+        f"{model_path} (reference .model checkpoint, train.py:254-265)",
+    )
     to_np = lambda d: {k: v.numpy() for k, v in d.items()}
 
     g_params, g_buffers = convert_generator(to_np(ckpt["generator"]))

@@ -98,9 +98,29 @@ def convert(
 ):
     from gif_tpu.flame.resources import FlameResources, save_flame_resources
     from gif_tpu.flame.mesh import load_obj
+    from gif_tpu.tools.manifest import check_manifest, require_keys
 
     with open(flame_pkl, "rb") as f:
         model = pickle.load(f, encoding="latin1")
+
+    # FLAME 2020 'generic_model.pkl' manifest: 5023 vertices, 300 shape +
+    # 100 expression PCA dirs packed as shapedirs[..., :400], 36 pose
+    # blendshape columns, 5 joints (reference constants.py:63-79 and the
+    # FLAME topology facts in SURVEY.md SS2.9).
+    check_manifest(
+        {k: _to_np(v) if k != "f" else np.asarray(v) for k, v in model.items()
+         if k in ("v_template", "shapedirs", "posedirs", "J_regressor",
+                   "weights", "f")},
+        {
+            "v_template": (5023, 3),
+            "shapedirs": (5023, 3, 400),
+            "posedirs": ((5023, 3, 36), (36, 15069)),
+            "J_regressor": (5, 5023),
+            "weights": (5023, 5),
+            "f": (9976, 3),
+        },
+        f"{flame_pkl} (FLAME 2020 generic model)",
+    )
 
     shapedirs_full = _to_np(model["shapedirs"])  # (V, 3, 400)
     res_kwargs = dict(
@@ -123,7 +143,13 @@ def convert(
         res_kwargs["posedirs"] = pd.reshape(-1, pd.shape[-1]).T
 
     tex = np.load(texture_npz)
+    require_keys(tex, ["mean", "tex_dir"], f"{texture_npz} (FLAME texture space)")
     n_tex = 50
+    if np.asarray(tex["mean"]).size != 512 * 512 * 3:
+        raise ValueError(
+            f"{texture_npz}: 'mean' has {np.asarray(tex['mean']).size} elements, "
+            "expected 512*512*3 (the FLAME_texture.npz PCA space ships at 512px)"
+        )
     tex_mean = np.asarray(tex["mean"], np.float32).reshape(512, 512, 3)
     tex_dirs = np.asarray(tex["tex_dir"], np.float32).reshape(512, 512, 3, -1)[
         ..., :n_tex
@@ -141,6 +167,11 @@ def convert(
     lmk = np.load(lmk_file, allow_pickle=True, encoding="latin1")
     if hasattr(lmk, "item"):
         lmk = lmk.item()
+    require_keys(
+        lmk,
+        ["static_lmk_faces_idx", "static_lmk_bary_coords"],
+        f"{lmk_file} (FLAME landmark embedding)",
+    )
     res_kwargs["lmk_faces"] = np.asarray(
         lmk["static_lmk_faces_idx"], np.int32
     ).reshape(-1)
@@ -164,6 +195,12 @@ def convert(
         ).reshape(-1, 3)
 
     td = np.load(texdata_file, allow_pickle=True, encoding="latin1").item()
+    require_keys(
+        td,
+        ["x_coords", "y_coords", "valid_pixel_ids", "valid_pixel_3d_faces",
+         "valid_pixel_b_coords"],
+        f"{texdata_file} (texture_data_256 precompute)",
+    )
     res_kwargs["texture_x_coords"] = np.asarray(td["x_coords"], np.int64)
     res_kwargs["texture_y_coords"] = np.asarray(td["y_coords"], np.int64)
     res_kwargs["texture_valid_pixel_ids"] = np.asarray(

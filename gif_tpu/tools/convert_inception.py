@@ -15,15 +15,37 @@ import argparse
 import numpy as np
 
 
+def _inception_manifest() -> dict:
+    """Expected keys/shapes of the pt_inception-2015 FID state dict,
+    derived from the same layout tables the converter consumes."""
+    from gif_tpu.eval.inception import _BLOCK_CONVS, _LAYOUT
+
+    manifest = {}
+    for name, block in _LAYOUT:
+        convs = [name] if block is None else [
+            f"{name}.{c}" for c in _BLOCK_CONVS[block]
+        ]
+        for prefix in convs:
+            manifest[f"{prefix}.conv.weight"] = (None, None, None, None)
+            for stat in ("weight", "bias", "running_mean", "running_var"):
+                manifest[f"{prefix}.bn.{stat}"] = (None,)
+    # Anchor shapes: the FID port's stem and pool3 width.
+    manifest["Conv2d_1a_3x3.conv.weight"] = (32, 3, 3, 3)
+    manifest["Mixed_7c.branch_pool.conv.weight"] = (192, 2048, 1, 1)
+    return manifest
+
+
 def convert(torch_weights_path: str, out_path: str) -> str:
     import torch
 
     from gif_tpu.eval.inception import convert_torch_inception
+    from gif_tpu.tools.manifest import check_manifest
 
     sd = torch.load(torch_weights_path, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    check_manifest(sd, _inception_manifest(), f"{torch_weights_path} (FID InceptionV3)")
     params = convert_torch_inception(sd)
 
     flat = {}

@@ -55,6 +55,7 @@ def train(
     log_every: int = 50,
     fid_n_samples: int = 10_000,
     fid_real_samples: int = 50_000,
+    converted_ckpt: Optional[str] = None,
 ):
     """Run training.  ``out_dir`` gets checkpoint/{run_id}, sample/{run_id},
     metrics.csv."""
@@ -91,6 +92,15 @@ def train(
     viz = VisualizationSaver(run_dir, cfg.run_id) if is_main else None
 
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.run_id))
+    if converted_ckpt is not None and ckpt.latest_step() is None:
+        # Fine-tune warm start from a converted reference ``.model``
+        # (reference run_id-29 path, configurations.py:232-241); an existing
+        # Orbax checkpoint in run_dir takes precedence over re-seeding.
+        from gif_tpu.train.state import warm_start_from_converted
+
+        state = warm_start_from_converted(state, converted_ckpt)
+        if is_main:
+            print(f"warm-started params from {converted_ckpt}")
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         if is_main:

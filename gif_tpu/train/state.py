@@ -84,3 +84,50 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array, step: int | None = None
         pl_mean=jnp.asarray(0.0, jnp.float32),
         used_samples=jnp.asarray(0, jnp.int32),
     )
+
+
+def _check_tree_shapes(got, want, what: str):
+    """Every leaf of ``got`` must exist in ``want`` with the same shape;
+    report ALL mismatches in one error (the fine-tune analog of the
+    converter manifests)."""
+    gl = {jax.tree_util.keystr(k): v.shape
+          for k, v in jax.tree_util.tree_leaves_with_path(got)}
+    wl = {jax.tree_util.keystr(k): v.shape
+          for k, v in jax.tree_util.tree_leaves_with_path(want)}
+    problems = [f"  {k}: checkpoint has {v}, model wants {wl[k]}"
+                for k, v in gl.items() if k in wl and tuple(v) != tuple(wl[k])]
+    problems += [f"  {k}: missing from checkpoint" for k in wl if k not in gl]
+    problems += [f"  {k}: unexpected in checkpoint" for k in gl if k not in wl]
+    if problems:
+        raise ValueError(
+            f"{what}: converted checkpoint does not fit this config "
+            f"({len(problems)} problem(s)):\n" + "\n".join(problems)
+        )
+
+
+def warm_start_from_converted(state: TrainState, path: str) -> TrainState:
+    """Seed a fresh TrainState with a converted reference checkpoint
+    (tools/convert_checkpoint.py output) — the reference's fine-tune path
+    (run_id 29 resumes a released ``.model``, configurations.py:232-241,
+    train.py:389-400).  Optimizer states stay fresh (not portable across
+    frameworks); counters stay zero."""
+    import pickle
+
+    with open(path, "rb") as f:
+        trees = pickle.load(f)
+    for src, dst, name in (
+        ("g_params", "g_params", "generator"),
+        ("g_ema_params", "g_ema_params", "EMA generator"),
+        ("d_params", "d_params", "discriminator"),
+        ("buffers", "buffers", "identity-embedding buffers"),
+    ):
+        if src not in trees:
+            raise ValueError(f"{path}: missing tree {src!r}")
+        _check_tree_shapes(trees[src], getattr(state, dst), f"{path} ({name})")
+    as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    return state.replace(
+        g_params=as_jnp(trees["g_params"]),
+        g_ema_params=as_jnp(trees["g_ema_params"]),
+        d_params=as_jnp(trees["d_params"]),
+        buffers=as_jnp(trees["buffers"]),
+    )

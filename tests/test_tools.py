@@ -156,3 +156,72 @@ def test_discriminator_conversion_structure():
         jnp.zeros((4, size, size, 6)),
     )
     assert out.shape == (4, 1)
+
+
+def test_manifest_reports_all_problems_at_once():
+    from gif_tpu.tools.manifest import ManifestError, check_manifest, require_keys
+
+    data = {"a": np.zeros((3, 4)), "b": np.zeros((2,))}
+    with pytest.raises(ManifestError) as ei:
+        check_manifest(
+            data, {"a": (3, 5), "b": (2,), "c": (1,)}, "test artifact"
+        )
+    msg = str(ei.value)
+    assert "'a'" in msg and "'c'" in msg and "'b'" not in msg
+    # Alternatives: any matching shape passes; None entries are free.
+    check_manifest(data, {"a": ((9, 9), (None, 4))}, "alt")
+    with pytest.raises(ManifestError):
+        require_keys(data, ["a", "missing"], "keys artifact")
+
+
+def test_checkpoint_converter_fails_loudly_on_wrong_model():
+    from gif_tpu.tools.convert_checkpoint import convert_generator
+    from gif_tpu.tools.manifest import ManifestError
+
+    sd = {"module.image_embedding.embd_weight": np.zeros((16, 256))}  # wrong width
+    with pytest.raises(ManifestError) as ei:
+        convert_generator(sd)
+    # Every anchor problem named in one shot.
+    assert "embd_weight" in str(ei.value) and "const_input" in str(ei.value)
+
+
+def test_warm_start_from_converted_pickle(tmp_path):
+    """train --converted_ckpt seeds params/EMA/D/buffers, keeps counters and
+    optimizer state fresh, and fails loudly on a shape mismatch."""
+    import pickle
+
+    from gif_tpu.train import get_config
+    from gif_tpu.train.state import create_train_state, warm_start_from_converted
+
+    cfg = get_config(
+        8, embedding_vocab_size=8, max_size=16, init_size=16,
+        render_image_size=16, batch_size=4, max_channels=16, nmlp_for_z_to_w=2,
+        compute_dtype="float32",
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    bump = lambda t: jax.tree_util.tree_map(lambda x: np.asarray(x) + 1.0, t)
+    trees = {
+        "g_params": bump(state.g_params),
+        "g_ema_params": bump(state.g_ema_params),
+        "d_params": bump(state.d_params),
+        "buffers": bump(state.buffers),
+    }
+    path = tmp_path / "conv.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(trees, f)
+
+    out = warm_start_from_converted(state, str(path))
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    g1 = jax.tree_util.tree_leaves(out.g_params)[0]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0) + 1.0)
+    assert int(out.step) == 0 and int(out.used_samples) == 0
+    # Optimizer state untouched (fresh Adam moments stay zero).
+    m0 = jax.tree_util.tree_leaves(out.g_opt_state)[0]
+    assert not np.asarray(jax.tree_util.tree_leaves(m0)[0]).any()
+
+    # Loud error naming the offending leaf on shape mismatch.
+    trees["buffers"] = {"embedding": np.zeros((3, 7), np.float32)}
+    with open(path, "wb") as f:
+        pickle.dump(trees, f)
+    with pytest.raises(ValueError, match="embedding"):
+        warm_start_from_converted(state, str(path))

@@ -26,6 +26,10 @@ def main():
     p.add_argument("--total_iters", type=int, default=3_000_000)
     p.add_argument("--inception_weights", type=str, default=None,
                    help="npz of converted InceptionV3 FID weights")
+    p.add_argument("--converted_ckpt", type=str, default=None,
+                   help="converted reference .model pickle "
+                        "(tools/convert_checkpoint.py) to warm-start from; "
+                        "the reference's fine-tune path (run_id 29)")
     p.add_argument("--no_mesh", action="store_true", help="single device")
     p.add_argument("--debug", action="store_true",
                    help="tiny synthetic setup for smoke testing")
@@ -146,6 +150,8 @@ def main():
             mesh = Mesh(np.array(jax.devices()[:use]), ("data",))
             print(f"data-parallel mesh over {use} devices")
 
+    if args.converted_ckpt and not os.path.exists(args.converted_ckpt):
+        raise SystemExit(f"--converted_ckpt {args.converted_ckpt} does not exist")
     train(
         cfg,
         dataset,
@@ -154,6 +160,7 @@ def main():
         total_iters=args.total_iters,
         mesh=mesh,
         fid_computer=fid_computer,
+        converted_ckpt=args.converted_ckpt,
     )
 
 
