@@ -180,24 +180,51 @@ def downsample_2x(x, taps=(1, 3, 3, 1), factor: int = 2):
     return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
 
 
+def _pallas_blur_wanted(shape, taps, pad4, itemsize) -> bool:
+    """Kernel-choice policy.  Round-4 hardware verdict: **XLA by default.**
+
+    Standalone (scripts/blur_hw_check.py, v5e bf16): the Pallas kernel wins
+    5.0x/7.9x/9.1x on the odd post-convT maps (257^2x128 / 129^2x256 /
+    65^2x512, pad 1,1) where XLA's isolated depthwise lowering collapses,
+    and ties (0.94-1.14x) on the even pre-downsample maps.
+
+    **In-model** (bench.py run_id-8 A/B, median of 3 chains): routing the
+    odd maps to the kernel drops throughput 69.3 -> 52.6 imgs/s.  Inside
+    the step XLA never runs those blurs standalone — it fuses them into
+    the surrounding convT/conv chains — and a custom call in the middle
+    forces the 257^2-class intermediates (and their R1 grad-of-grad
+    cotangents) to materialize in HBM.  The standalone win is a
+    measurement artifact of de-fused execution, so the default stays XLA;
+    ``GIF_TPU_PALLAS_BLUR=auto`` re-enables the odd-shape routing and
+    ``1`` forces the kernel everywhere supported (both kept for
+    experimentation; off-TPU ``supports()`` is always False).
+    """
+    mode = os.environ.get("GIF_TPU_PALLAS_BLUR", "0")
+    if mode == "0":
+        return False
+    if not blur_pallas.supports(shape, taps, 1, 1, pad4, itemsize):
+        return False
+    if mode == "1":
+        return True
+    _, h, w, _ = shape
+    return h % 2 == 1 or w % 2 == 1
+
+
 def blur(x, pad, taps=(1, 3, 3, 1), upsample_factor: int = 1):
     """FIR blur with explicit pad (reference Blur, :136-152).
 
-    With ``GIF_TPU_PALLAS_BLUR=1``, 4-tap blurs on big-enough TPU maps run
-    through the fused Pallas stencil kernel (ops/blur_pallas.py) — one VMEM
-    round trip instead of two depthwise convs that XLA executes well off
-    the HBM roofline.  Opt-in (default off) until the kernel is validated
-    on hardware; interpret-mode parity (incl. second-order gradients) is
-    pinned by tests/test_blur_pallas.py.
+    Runs as two rank-1 XLA depthwise passes that fuse into the adjacent
+    convs; see ``_pallas_blur_wanted`` for the measured reasons the Pallas
+    stencil kernel is opt-in only.  Parity incl. second-order gradients is
+    pinned by tests/test_blur_pallas.py and hardware-checked by
+    scripts/blur_hw_check.py.
     """
     gain = float(upsample_factor**2) if upsample_factor > 1 else 1.0
     if len(pad) == 2:
         pad4 = (pad[0], pad[1], pad[0], pad[1])
     else:
         pad4 = tuple(pad)
-    if os.environ.get(
-        "GIF_TPU_PALLAS_BLUR", "0"
-    ) == "1" and blur_pallas.supports(x.shape, taps, 1, 1, pad4, x.dtype.itemsize):
+    if _pallas_blur_wanted(x.shape, taps, pad4, x.dtype.itemsize):
         return blur_pallas.blur4_pallas(x, blur_pallas.taps_1d(tuple(taps), gain), pad4)
     kernel = _cached_kernel(tuple(taps), gain)
     return upfirdn2d(x, kernel, pad=pad4)

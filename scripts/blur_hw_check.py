@@ -18,8 +18,12 @@ pre-double-buffering version — see the history in blur_pallas.py):
     (16, 64, 64,512) pad(2,1): xla  2.39ms  pallas 2.49ms  0.96x
 
 relerr ~9e-3 fwd / ~1.2e-2 grad (bf16 inputs vs the XLA path).  XLA's
-depthwise emitter collapses on ODD-size inputs (the convT intermediates);
-the auto policy in ops/upfirdn.py routes exactly those to the kernel.
+depthwise emitter collapses on ODD-size inputs (the convT intermediates)
+**when the blur runs standalone** — but the in-model A/B (bench.py) showed
+69.3 -> 52.6 imgs/s from routing those maps to the kernel: inside the step
+XLA fuses the blur into the convT/conv chains and a custom call forces the
+intermediates to materialize.  Default therefore stays XLA; see
+ops/upfirdn.py::_pallas_blur_wanted.
 """
 
 import argparse
