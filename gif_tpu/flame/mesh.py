@@ -89,9 +89,69 @@ def load_obj(path: str):
     )
 
 
-def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+def save_obj(
+    path: str,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    vertex_colors: np.ndarray | None = None,
+    texture: np.ndarray | None = None,
+    uvcoords: np.ndarray | None = None,
+    uvfaces: np.ndarray | None = None,
+) -> None:
+    """Write a mesh as OBJ (host-side, eval convenience).
+
+    Covers the reference Mesh save paths (standard_rasterize_cuda/
+    helpers.py:6-60, :352-381):
+      - plain geometry:           save_obj(p, v, f)
+      - per-vertex colors:        save_obj(p, v, f, vertex_colors=rgb01)
+        (the MeshLab 'v x y z r g b' extension)
+      - textured surface:         save_obj(p, v, f, texture=img01,
+                                           uvcoords=vt, uvfaces=ft)
+        which also writes a sibling ``.mtl`` and ``.png``.
+    """
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    textured = texture is not None
+    if textured and (uvcoords is None or uvfaces is None):
+        raise ValueError("texture output needs uvcoords and uvfaces")
+
+    mtl_path = png_path = None
+    if textured:
+        import os
+
+        from PIL import Image
+
+        base = path[:-4] if path.endswith(".obj") else path
+        mtl_path, png_path = base + ".mtl", base + ".png"
+        img = (np.clip(np.asarray(texture), 0.0, 1.0) * 255).astype(np.uint8)
+        Image.fromarray(img).save(png_path)
+        with open(mtl_path, "w") as f:
+            f.write("newmtl material_1\n")
+            f.write(f"map_Kd {os.path.basename(png_path)}\n")
+
     with open(path, "w") as f:
-        for v in np.asarray(vertices):
-            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-        for face in np.asarray(faces):
-            f.write(f"f {face[0]+1} {face[1]+1} {face[2]+1}\n")
+        if textured:
+            import os
+
+            f.write(f"mtllib {os.path.basename(mtl_path)}\n")
+        if vertex_colors is not None:
+            for v, c in zip(vertices, np.asarray(vertex_colors)):
+                f.write(
+                    f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} "
+                    f"{c[0]:.6f} {c[1]:.6f} {c[2]:.6f}\n"
+                )
+        else:
+            for v in vertices:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if textured:
+            for uv in np.asarray(uvcoords).reshape(-1, 2):
+                f.write(f"vt {uv[0]:.6f} {uv[1]:.6f}\n")
+            f.write("usemtl material_1\n")
+            for face, uvf in zip(faces, np.asarray(uvfaces)):
+                f.write(
+                    f"f {face[0]+1}/{uvf[0]+1} {face[1]+1}/{uvf[1]+1} "
+                    f"{face[2]+1}/{uvf[2]+1}\n"
+                )
+        else:
+            for face in faces:
+                f.write(f"f {face[0]+1} {face[1]+1} {face[2]+1}\n")

@@ -343,3 +343,34 @@ def test_legacy_camera_param_dicts():
     np.testing.assert_allclose(pp["c"], [96.0, 128.0])
     np.testing.assert_allclose(pp["f"], [5000.0, 5000.0])
     np.testing.assert_allclose(pp["r"], [0.0, np.pi, 0.0])
+
+
+def test_save_obj_roundtrip_and_texture(tmp_path):
+    """save_obj covers the reference Mesh save paths (helpers.py:6-60,
+    :352-381): geometry roundtrip, vertex colors, textured + mtl/png."""
+    from gif_tpu.flame.mesh import load_obj, save_obj
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+
+    p = str(tmp_path / "plain.obj")
+    save_obj(p, v, f)
+    v2, f2, uv2, uvf2 = load_obj(p)
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+    assert uv2 is None
+
+    # Vertex-color extension still loads as geometry.
+    pc = str(tmp_path / "colors.obj")
+    save_obj(pc, v, f, vertex_colors=np.ones_like(v) * 0.5)
+    v3, f3, _, _ = load_obj(pc)
+    np.testing.assert_allclose(v3, v, atol=1e-6)
+
+    # Textured path: obj + mtl + png; uv faces roundtrip.
+    uv = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    pt = str(tmp_path / "tex.obj")
+    save_obj(pt, v, f, texture=np.zeros((8, 8, 3)), uvcoords=uv, uvfaces=f)
+    v4, f4, uv4, uvf4 = load_obj(pt)
+    np.testing.assert_allclose(uv4, uv, atol=1e-6)
+    np.testing.assert_array_equal(uvf4, f)
+    assert (tmp_path / "tex.mtl").exists() and (tmp_path / "tex.png").exists()
