@@ -15,6 +15,7 @@ inside the training step — eliminating the reference's LMDB render precompute
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -94,6 +95,7 @@ def render_tex_and_normal(
     tile: int = 32,
     max_tris_per_tile: int | None = 384,
     assert_no_overflow: bool = False,
+    raster_backend: str = "auto",
 ) -> RenderedMaps:
     """Render textured + normal-map conditioning images from FLAME codes.
 
@@ -126,7 +128,19 @@ def render_tex_and_normal(
 
     import numpy as np
 
-    use_pallas = (tile * tile) % 128 == 0 and jax.default_backend() == "tpu"
+    # ``raster_backend``: "auto" (Pallas on TPU, XLA elsewhere), or force
+    # "xla" / "pallas" — the forcing path exists for the renderer-numerics
+    # sensitivity experiment (scripts/raster_sensitivity.py) and debugging;
+    # GIF_TPU_RASTER overrides for entry points that don't thread the arg.
+    backend = os.environ.get("GIF_TPU_RASTER", raster_backend)
+    if backend == "xla":
+        use_pallas = False
+    elif backend == "pallas":
+        if (tile * tile) % 128 != 0:
+            raise ValueError(f"pallas raster needs tile^2 % 128 == 0, got {tile}")
+        use_pallas = True
+    else:
+        use_pallas = (tile * tile) % 128 == 0 and jax.default_backend() == "tpu"
     # Pallas path: Morton-ordered face list (only the face-id labelling
     # changes; the rendered maps are identical up to z-ties).
     faces = _morton_faces(res) if use_pallas else np.asarray(res.faces)

@@ -56,6 +56,7 @@ def train(
     fid_n_samples: int = 10_000,
     fid_real_samples: int = 50_000,
     converted_ckpt: Optional[str] = None,
+    seed: Optional[int] = None,
 ):
     """Run training.  ``out_dir`` gets checkpoint/{run_id}, sample/{run_id},
     metrics.csv."""
@@ -91,7 +92,11 @@ def train(
     logger = MetricsLogger(os.path.join(run_dir, "metrics.csv")) if is_main else None
     viz = VisualizationSaver(run_dir, cfg.run_id) if is_main else None
 
-    state = create_train_state(cfg, jax.random.PRNGKey(cfg.run_id))
+    # ``seed`` (default run_id) decouples the RNG/data streams from the
+    # preset for controlled experiments (e.g. the raster-sensitivity
+    # noise-floor arm, scripts/raster_sensitivity.py).
+    seed = cfg.run_id if seed is None else seed
+    state = create_train_state(cfg, jax.random.PRNGKey(seed))
     if converted_ckpt is not None and ckpt.latest_step() is None:
         # Fine-tune warm start from a converted reference ``.model``
         # (reference run_id-29 path, configurations.py:232-241); an existing
@@ -117,10 +122,10 @@ def train(
     it = data_iterator(
         dataset,
         local_bs,
-        seed=(cfg.run_id, jax.process_index()),
+        seed=(seed, jax.process_index()),
         start_step=start,
     )
-    rng_key = jax.random.PRNGKey(1234 + cfg.run_id)
+    rng_key = jax.random.PRNGKey(1234 + seed)
     fid = float("nan")
     t_last = time.perf_counter()
 

@@ -42,6 +42,12 @@ def main():
                         "runs (host:port)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="RNG/data-stream seed (default: run_id) — for "
+                        "controlled experiments")
+    p.add_argument("--fid_n_samples", type=int, default=10_000)
+    p.add_argument("--fid_real_samples", type=int, default=50_000)
+    p.add_argument("--log_every", type=int, default=50)
     args = p.parse_args()
 
     if args.multihost or args.coordinator:
@@ -161,6 +167,10 @@ def main():
         mesh=mesh,
         fid_computer=fid_computer,
         converted_ckpt=args.converted_ckpt,
+        seed=args.seed,
+        fid_n_samples=args.fid_n_samples,
+        fid_real_samples=args.fid_real_samples,
+        log_every=args.log_every,
     )
 
 
