@@ -1,0 +1,101 @@
+"""Longitudinal training-dynamics test (VERDICT r3 weak #2 / next #3).
+
+Every other loop test runs 1-10 iterations; this one runs the REAL loop for
+200+ steps on a tiny config and asserts the dynamics stay sane — losses
+finite and bounded, R1 firing on its cadence and keeping gradients bounded,
+the render never overflowing tiles, EMA tracking.  The reference's de-facto
+correctness harness is FID-during-training (SURVEY.md §4); this is the
+cheap longitudinal proxy that runs nightly.
+
+Bounds are calibrated from a probe run of this exact config (2026-08-19):
+d_loss in [0.14, 2.03], g_loss in [0.34, 6.6], max r1 6.2 — asserted here
+with ~5x headroom so seed drift doesn't flake, while still catching
+divergence (softplus losses blow through 15/30 within a few steps when a
+GAN diverges) and collapse (constant losses).
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # ~3 min: nightly tier
+
+from gif_tpu.data.pipeline import SyntheticFlameDataset
+from gif_tpu.flame.resources import synthetic_flame_resources
+from gif_tpu.train import get_config
+from gif_tpu.train.loop import train
+
+N_STEPS = 200
+
+
+def test_training_dynamics_stay_sane_over_200_steps(tmp_path):
+    cfg = get_config(
+        8,
+        embedding_vocab_size=64,
+        max_size=32,
+        init_size=32,
+        render_image_size=32,
+        batch_size=4,
+        apply_texture_space_interpolation_loss=False,
+        checkpoint_every=100_000,
+        fid_every=100_000,
+        # XLA:CPU runs per-sample modconv grads serially; the capped model
+        # keeps the nightly run ~3 min (see tests/test_loop.py).
+        max_channels=32,
+        nmlp_for_z_to_w=2,
+        compute_dtype="float32",
+    )
+    ds = SyntheticFlameDataset(n=64, size=32)
+    res = synthetic_flame_resources(seed=1, n_vertices=503)
+
+    state = train(
+        cfg, ds, res, str(tmp_path), total_iters=N_STEPS, log_every=1
+    )
+
+    with open(os.path.join(str(tmp_path), "8", "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == N_STEPS
+
+    cols = {
+        k: np.array([float(r[k]) for r in rows])
+        for k in ("d_loss", "g_loss", "r1", "g_total", "render_overflow")
+    }
+
+    # Finiteness: the one property that catches bf16/NaN blowups anywhere.
+    for k, v in cols.items():
+        assert np.isfinite(v).all(), f"{k} went non-finite"
+
+    # The condition render must never drop triangles mid-training.
+    assert (cols["render_overflow"] == 0).all()
+
+    # Bounded, non-divergent adversarial losses (softplus NS loss sits near
+    # 2*softplus(0)=1.39 at equilibrium; divergence blows through these in
+    # a handful of steps).
+    assert cols["d_loss"].max() < 15 and cols["d_loss"].min() > 0
+    assert cols["g_loss"].max() < 30 and cols["g_loss"].min() > 0
+    assert cols["d_loss"][-50:].mean() < 5
+    assert cols["g_loss"][-50:].mean() < 15
+
+    # Not collapsed to a constant (a frozen D or G produces flat losses).
+    assert cols["d_loss"].std() > 1e-3
+    assert cols["g_loss"].std() > 1e-3
+
+    # R1 fires exactly on its lax.cond cadence and stays bounded.
+    fired = np.flatnonzero(cols["r1"] != 0)
+    expected = np.arange(cfg.r1_interval, N_STEPS + 1, cfg.r1_interval) - 1
+    np.testing.assert_array_equal(fired, expected)
+    assert cols["r1"].max() < 50
+
+    # Final state (params, EMA, opt moments) finite; EMA actually tracking
+    # (differs from the live params it averages).
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(state):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f":
+            assert np.isfinite(arr).all()
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    e0 = jax.tree_util.tree_leaves(state.g_ema_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(e0))
