@@ -109,24 +109,36 @@ def import_image_dir(
     image_dir: str,
     flame_params_file: str,
     out_dir: str,
-    resolution: int = 256,
+    resolution: int | tuple[int, ...] = 256,
     bad_images_file: str | None = None,
     limit: int | None = None,
 ) -> str:
     """Pack a raw FFHQ-style image folder directly (no LMDB stage).
 
     The reference pipeline is raw images -> multiscale LMDB
-    (prepare_lmdb/prepare_ffhq_multiscale_dataset.py) -> loader; since this
-    framework trains at a single resolution from packed arrays, users
-    coming from a plain image folder can skip the LMDB entirely.  Files
-    are taken in sorted name order (FFHQ's zero-padded stems make that the
-    dataset order the FLAME .npy is indexed by); non-target sizes are
-    bilinearly resized like the reference prep (PIL ANTIALIAS semantics).
+    (prepare_lmdb/prepare_ffhq_multiscale_dataset.py:18-75, scales 8..1024)
+    -> loader; users coming from a plain image folder skip the LMDB
+    entirely.  ``resolution`` may be a tuple of sizes — the multiscale
+    equivalent: each size *s* gets ``images_{s}.npy`` + ``dataset_{s}.npz``
+    (a single size keeps the canonical ``images.npy``/``dataset.npz``
+    names), so any preset resolution can train from one import pass.
+    Files are taken in sorted name order (FFHQ's zero-padded stems make
+    that the dataset order the FLAME .npy is indexed by); non-target sizes
+    are resized like the reference prep (PIL ANTIALIAS semantics).
+
+    Returns the dataset path of the LAST size (the largest, when sorted).
     """
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - optional dependency
         raise ImportError(f"PIL is required for importing images: {e}") from e
+
+    sizes = (resolution,) if isinstance(resolution, int) else tuple(
+        sorted(set(resolution))
+    )
+    if not sizes:
+        raise ValueError("resolution must name at least one size")
+    multi = len(sizes) > 1
 
     os.makedirs(out_dir, exist_ok=True)
     params_raw = np.load(flame_params_file, allow_pickle=True)
@@ -142,18 +154,27 @@ def import_image_dir(
     if not names:
         raise FileNotFoundError(f"no {exts} files under {image_dir}")
     n = len(names)
-    images = np.lib.format.open_memmap(
-        os.path.join(out_dir, "images.npy"),
-        mode="w+",
-        dtype=np.uint8,
-        shape=(n, resolution, resolution, 3),
-    )
+
+    def _img_name(s):
+        return f"images_{s}.npy" if multi else "images.npy"
+
+    images = {
+        s: np.lib.format.open_memmap(
+            os.path.join(out_dir, _img_name(s)),
+            mode="w+",
+            dtype=np.uint8,
+            shape=(n, s, s, 3),
+        )
+        for s in sizes
+    }
     flame = np.zeros((n, 236), np.float32)
     for i, name in enumerate(names):
         img = Image.open(os.path.join(image_dir, name)).convert("RGB")
-        if img.size != (resolution, resolution):
-            img = img.resize((resolution, resolution), Image.LANCZOS)
-        images[i] = np.asarray(img, np.uint8)
+        for s in sizes:
+            scaled = (
+                img if img.size == (s, s) else img.resize((s, s), Image.LANCZOS)
+            )
+            images[s][i] = np.asarray(scaled, np.uint8)
         if isinstance(params_raw, dict):
             stem = os.path.splitext(name)[0]
             entry = params_raw.get(i, params_raw.get(stem))
@@ -164,19 +185,24 @@ def import_image_dir(
         else:
             entry = params_raw[i]
         flame[i] = _assemble_flame_vector(entry)
-    images.flush()
+    for arr in images.values():
+        arr.flush()
 
     bad = np.zeros((0,), np.int64)
     if bad_images_file and os.path.exists(bad_images_file):
         bad = np.load(bad_images_file)["bad_images"].astype(np.int64)
 
-    out = os.path.join(out_dir, "dataset.npz")
-    np.savez(
-        out,
-        flame_params=flame,
-        bad_images=bad,
-        images_path=os.path.join(out_dir, "images.npy"),
-    )
+    out = None
+    for s in sizes:
+        out = os.path.join(
+            out_dir, f"dataset_{s}.npz" if multi else "dataset.npz"
+        )
+        np.savez(
+            out,
+            flame_params=flame,
+            bad_images=bad,
+            images_path=os.path.join(out_dir, _img_name(s)),
+        )
     return out
 
 
@@ -191,17 +217,35 @@ def main():  # pragma: no cover
     )
     p.add_argument("--flame_params", required=True)
     p.add_argument("--out_dir", required=True)
-    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument(
+        "--resolution",
+        default="256",
+        help="target size, or a comma list (e.g. 64,128,256) for the "
+        "multiscale equivalent of the reference LMDB builder "
+        "(image-dir mode only)",
+    )
     p.add_argument("--bad_images", default=None)
     p.add_argument("--limit", type=int, default=None)
     a = p.parse_args()
+    sizes = tuple(int(s) for s in str(a.resolution).split(","))
     if a.lmdb:
+        if len(sizes) > 1:
+            # The reference LMDB already holds every scale keyed
+            # f"{res}-{idx}"; import each requested one separately.
+            raise SystemExit(
+                "--lmdb mode imports one scale per call; rerun per size"
+            )
         out = import_ffhq_lmdb(
-            a.lmdb, a.flame_params, a.out_dir, a.resolution, a.bad_images, a.limit
+            a.lmdb, a.flame_params, a.out_dir, sizes[0], a.bad_images, a.limit
         )
     else:
         out = import_image_dir(
-            a.image_dir, a.flame_params, a.out_dir, a.resolution, a.bad_images, a.limit
+            a.image_dir,
+            a.flame_params,
+            a.out_dir,
+            sizes if len(sizes) > 1 else sizes[0],
+            a.bad_images,
+            a.limit,
         )
     print(out)
 

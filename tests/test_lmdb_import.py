@@ -165,3 +165,50 @@ def test_import_image_dir(tmp_path):
         ds.flame_params[2, :100], np.asarray(params[2]["shape"], np.float32),
         rtol=1e-6,
     )
+
+
+def test_import_image_dir_multiscale(tmp_path):
+    """Multi-size import (the reference multiscale-LMDB builder equivalent,
+    prepare_ffhq_multiscale_dataset.py:18-75): one pass emits per-size
+    packed datasets, each loader-round-trippable."""
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    truth = []
+    for i in range(3):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        truth.append(arr)
+        Image.fromarray(arr).save(img_dir / f"{str(i).zfill(5)}.png")
+    params = np.array(
+        [
+            {
+                "shape": rng.standard_normal(100),
+                "exp": rng.standard_normal(50),
+                "pose": rng.standard_normal(6),
+                "cam": rng.standard_normal(3),
+                "tex": rng.standard_normal(50),
+                "lit": rng.standard_normal((9, 3)),
+            }
+            for _ in range(3)
+        ],
+        dtype=object,
+    )
+    params_file = tmp_path / "flame.npy"
+    np.save(params_file, params, allow_pickle=True)
+
+    from gif_tpu.data.lmdb_import import import_image_dir
+    from gif_tpu.data.pipeline import load_packed_dataset
+
+    out = import_image_dir(
+        str(img_dir), str(params_file), str(tmp_path / "out"),
+        resolution=(16, 32),
+    )
+    assert out.endswith("dataset_32.npz")
+    for s in (16, 32):
+        ds = load_packed_dataset(str(tmp_path / "out" / f"dataset_{s}.npz"))
+        assert ds.images.shape == (3, s, s, 3)
+    # Native size passes through unresized.
+    ds32 = load_packed_dataset(str(tmp_path / "out" / "dataset_32.npz"))
+    np.testing.assert_array_equal(np.asarray(ds32.images[0]), truth[0])
