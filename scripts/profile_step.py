@@ -15,7 +15,7 @@ import sys
 import numpy as np
 
 
-def run(out_dir="/tmp/gif-profile", n_steps=3):
+def run(out_dir="/tmp/gif-profile", n_steps=3, run_id=8):
     import jax
     import jax.numpy as jnp
 
@@ -23,7 +23,7 @@ def run(out_dir="/tmp/gif-profile", n_steps=3):
     from gif_tpu.flame.resources import synthetic_flame_resources
 
     batch = 16
-    cfg = get_config(8, embedding_vocab_size=1024, batch_size=batch, r1_interval=1)
+    cfg = get_config(run_id, embedding_vocab_size=1024, batch_size=batch, r1_interval=1)
     res = synthetic_flame_resources()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step_fn = make_train_step(cfg, res, max_tris_per_tile=512, donate=True)
@@ -97,5 +97,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--parse-only":
         parse(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     else:
-        out_dir, n = run()
+        import argparse
+
+        ap = argparse.ArgumentParser(description=__doc__)
+        ap.add_argument("--run_id", type=int, default=8)
+        ap.add_argument("--out_dir", default="/tmp/gif-profile")
+        a = ap.parse_args()
+        out_dir, n = run(out_dir=a.out_dir, run_id=a.run_id)
         parse(out_dir, n)

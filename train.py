@@ -25,7 +25,11 @@ def main():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--total_iters", type=int, default=3_000_000)
     p.add_argument("--inception_weights", type=str, default=None,
-                   help="npz of converted InceptionV3 FID weights")
+                   help="npz of converted InceptionV3 FID weights, or "
+                        "'random' for a random-init net (relative FID; "
+                        "exercises the eval path without licensed weights)")
+    p.add_argument("--fid_every", type=int, default=None,
+                   help="override the preset FID cadence")
     p.add_argument("--converted_ckpt", type=str, default=None,
                    help="converted reference .model pickle "
                         "(tools/convert_checkpoint.py) to warm-start from; "
@@ -95,14 +99,34 @@ def main():
             embedding_vocab_size=len(dataset),
         )
 
+    if args.fid_every:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fid_every=args.fid_every)
+
     fid_computer = None
-    if args.inception_weights and not os.path.exists(args.inception_weights):
+    if args.inception_weights == "random":
+        # Random-init Inception: FID becomes a *relative* metric (any
+        # params give a consistent ordering — see FidComputer docstring);
+        # exercises the full eval path without the licensed weight file.
+        import jax
+        import jax.numpy as jnp
+        from gif_tpu.eval import FidComputer
+        from gif_tpu.eval.inception import InceptionV3FID
+
+        params = InceptionV3FID(fid_variant=True).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+        )["params"]
+        fid_computer = FidComputer(
+            params, stats_dir=os.path.join(args.out_dir, "fid_stats")
+        )
+    elif args.inception_weights and not os.path.exists(args.inception_weights):
         # Loud, not silent: a typo'd path would otherwise train for days
         # logging NaN FID with no indication the flag was dropped.
         raise SystemExit(
             f"--inception_weights {args.inception_weights} does not exist"
         )
-    if args.inception_weights and os.path.exists(args.inception_weights):
+    elif args.inception_weights:
         import jax.numpy as jnp
         from gif_tpu.eval import FidComputer
         from gif_tpu.tools.convert_inception import load_converted_params
