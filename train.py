@@ -30,6 +30,8 @@ def main():
                         "exercises the eval path without licensed weights)")
     p.add_argument("--fid_every", type=int, default=None,
                    help="override the preset FID cadence")
+    p.add_argument("--checkpoint_every", type=int, default=None,
+                   help="override the preset checkpoint cadence")
     p.add_argument("--converted_ckpt", type=str, default=None,
                    help="converted reference .model pickle "
                         "(tools/convert_checkpoint.py) to warm-start from; "
@@ -99,10 +101,14 @@ def main():
             embedding_vocab_size=len(dataset),
         )
 
-    if args.fid_every:
+    if args.fid_every or args.checkpoint_every:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, fid_every=args.fid_every)
+        cfg = dataclasses.replace(
+            cfg,
+            fid_every=args.fid_every or cfg.fid_every,
+            checkpoint_every=args.checkpoint_every or cfg.checkpoint_every,
+        )
 
     fid_computer = None
     if args.inception_weights == "random":
