@@ -24,6 +24,9 @@ def main(run_id: int = 8):
 
     from gif_tpu.train import get_config, create_train_state, make_train_step
     from gif_tpu.flame.resources import synthetic_flame_resources
+    from gif_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     batch = 16
     kwargs = {}

@@ -64,6 +64,10 @@ def main():
         )
 
     import jax
+
+    from gif_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from jax.sharding import Mesh
 
     from gif_tpu.train import get_config
