@@ -34,6 +34,13 @@ _REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 def run_arm(tag, backend, seed, args):
     out = os.path.join(args.out_dir, tag)
+    metrics = os.path.join(out, str(args.run_id), "metrics.csv")
+    want_rows = args.iters // args.log_every
+    if os.path.exists(metrics) and len(read_losses(metrics)) >= want_rows:
+        # Resumable: a completed arm (e.g. from a run the TPU tunnel killed
+        # partway) is reused as-is.
+        print(f"[{tag}] complete, skipping")
+        return metrics
     env = dict(os.environ, GIF_TPU_RASTER=backend)
     cmd = [
         sys.executable, os.path.join(_REPO, "train.py"),
@@ -46,9 +53,17 @@ def run_arm(tag, backend, seed, args):
     ]
     if args.debug:
         cmd.append("--debug")
-    print(f"[{tag}] backend={backend} seed={seed}")
-    subprocess.run(cmd, check=True, env=env, cwd=_REPO)
-    return os.path.join(out, str(args.run_id), "metrics.csv")
+    for attempt in (1, 2):
+        if os.path.exists(out):
+            # A partial arm must restart clean: metrics.csv appends, and
+            # duplicated early rows would misalign the row-wise comparison.
+            import shutil
+
+            shutil.rmtree(out)
+        print(f"[{tag}] backend={backend} seed={seed} (attempt {attempt})")
+        if subprocess.run(cmd, env=env, cwd=_REPO).returncode == 0:
+            return metrics
+    raise SystemExit(f"arm {tag} failed twice (transient-tunnel retry cover)")
 
 
 def read_losses(path):
