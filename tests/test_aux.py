@@ -149,3 +149,25 @@ def test_choose_data_mesh_size():
         choose_data_mesh_size(16, 5, n_proc=2)     # not divisible
     with pytest.raises(ValueError):
         choose_data_mesh_size(16, 8, n_proc=2, min_per_shard=3)  # 2/shard
+
+
+def test_raster_sensitivity_artifact_within_tolerance():
+    """The committed renderer-numerics experiment (VERDICT r3 #5) must show
+    backend-induced training divergence at or below seed-level noise.
+    Regenerate with scripts/raster_sensitivity.py on hardware; this pins
+    the tolerance on the committed artifact."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "docs", "experiments",
+        "raster_sensitivity_r04.json",
+    )
+    with open(path) as f:
+        res = json.load(f)
+    assert res["rows"] >= 30
+    # Tolerance: backend swap must perturb trajectories no more than 1.5x
+    # what a seed change does (measured 0.44x).
+    assert res["ratio"] <= 1.5
+    for arm in res["arms"].values():
+        assert arm["d_last10_mean"] < 1.0 and arm["g_last10_mean"] < 30.0
