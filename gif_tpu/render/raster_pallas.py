@@ -16,13 +16,19 @@ race-free MXU formulation re-architected for the hardware:
 - the z-test maximizes the depth *denominator* (monotone reciprocal of the
   perspective depth, positive for every hit), so no per-pair division;
 - the winner's payload (its affine coefficients + corner attributes) is
-  selected with a second matmul, ``onehot(p,k) @ cand(k,32)`` — gather-free
+  selected with a second matmul, ``cand(32,k) @ onehot(k,p)`` — gather-free
   and deterministic (lowest face id among exact z-ties; the reference CUDA
   kernel instead papers over its atomicMin/write race by dispatching the
   kernel twice, :252-314);
-- the kernel emits pixel-major winner tables; barycentrics, depth, masks
-  and the interpolated attributes are decoded from the winner's payload by
-  dense XLA elementwise ops (perfectly fused, no gathers);
+- **everything is lane-major in the big dimension**: the candidate tensor
+  enters the kernel as (B, T, 32, K) and the winner table leaves it as
+  (B, T, 32, P) — candidate slots / pixels on the 128-lane axis, the
+  32-column payload on sublanes.  The naive (…, K, 32) / (…, P, 32)
+  orientation puts the 32-wide payload on the lane axis, which XLA pads
+  to 128 lanes: 4x the HBM footprint on both sides of the custom call
+  plus a relayout copy each way (measured ~4 ms/pass at B=16, 256px);
+- barycentrics, depth, masks and the interpolated attributes are decoded
+  from the winner's payload by dense XLA elementwise ops (no gathers);
 - binning is CHUNK-granular: faces are Morton-ordered once per mesh
   (``morton_face_order``) so consecutive ids are spatial neighbours, then
   grouped into chunks of 32 whose screen bboxes are intersected with the
@@ -234,28 +240,38 @@ def _chunk_bin(fvp, face_attrs, n_ty, n_tx, tile, h, w, max_chunks):
 
     # --- coherent block gather: one contiguous row per selected chunk ---
     # The table is viewed as (n_ch + 1, _BLOCK*_COLS) contiguous rows (the
-    # +1 is the zero pad chunk) and gathered with take(); the trailing
-    # reshape back to candidate slots is layout-free, unlike the previous
-    # vmapped dynamic_slice whose output XLA laid out block-major and then
-    # repacked with a ~1.6 ms relayout copy.
+    # +1 is the zero pad chunk) and gathered with take(); both the gather
+    # output and the transposed kernel operand keep the big dimension on
+    # the lane axis, so nothing in this chain is lane-padded.
     tab_rows = jnp.pad(tab, ((0, 0), (0, _BLOCK), (0, 0))).reshape(
         b, n_ch + 1, _BLOCK * _COLS
     )
-    cand = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(
+    # mode="clip": ids are always in [0, n_ch] by construction, and the
+    # default "fill" mode materializes an in-bounds select over the whole
+    # gathered tensor (~1.6 ms/pass at B=16, 256px).
+    cand = jax.vmap(lambda t, i: jnp.take(t, i, axis=0, mode="clip"))(
         tab_rows, ids.reshape(b, -1)
     )  # (B, T*MC, _BLOCK*_COLS)
-    cand = cand.reshape(b, n_tiles, mc * _BLOCK, _COLS)
+    # Column-major kernel operand: (B, T, _COLS, K) with candidate slots on
+    # the minor (lane) axis.  The slot-major (…, K, _COLS) orientation would
+    # lane-pad 32 -> 128 (4x HBM) and cost a relayout copy on top.
+    cand = cand.reshape(b, n_tiles, mc, _BLOCK, _COLS)
+    cand = jnp.moveaxis(cand, 4, 2).reshape(b, n_tiles, _COLS, mc * _BLOCK)
     # The kernel's inner loop reads _CHUNK-slot blocks: keep K a multiple.
-    k_pad = (-cand.shape[2]) % _CHUNK
+    k_pad = (-cand.shape[3]) % _CHUNK
     if k_pad:
-        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        # Zero zdenom coefficients: padded slots can never win a z-test.
+        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, 0), (0, k_pad)))
     return cand, counts.astype(jnp.int32), overflow
+
+
+_NROW = 16  # coefficient row block fed to the fused affine dot (rows 0:16)
 
 
 def _raster_group_kernel(
     counts_ref,  # scalar prefetch: (B, T) int32
-    cand_ref,  # (1, TG, K, 32) candidate block
-    bestd_ref,  # (1, TG, P, 32) winner payload row (+ zdenom at _C_ZD)
+    cand_ref,  # (1, TG, 32, K) candidate block, payload on sublanes
+    bestd_ref,  # (1, TG, 32, P) winner payload column (+ zdenom at _C_ZD)
     *,
     tile: int,
     n_tx: int,
@@ -265,67 +281,83 @@ def _raster_group_kernel(
     tg = pl.program_id(1)
     p = tile * tile
 
-    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    lx = (pix % tile).astype(jnp.float32)  # (P, 1)
-    ly = (pix // tile).astype(jnp.float32)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (p, 3), 1)
+    # Fused affine operand: ONE (16, 4P) matrix evaluates u, v, zdenom AND
+    # broadcasts the face id in a single MXU pass per bf16 half.  Block
+    #-diagonal in 4 P-wide lane blocks: block q in {u, v, z} pairs rows
+    # (3q, 3q+1, 3q+2) with (x_local, y_local, 1); block 3 pairs the
+    # _C_GID row with 1 (outer-product id broadcast).  Rows 9, 11:16 are
+    # zero, so feeding the payload's full 0:16 row block is harmless and
+    # keeps the sublane slice tile-aligned.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_NROW, 4 * p), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_NROW, 4 * p), 1)
+    blk_id = cols // p
+    lx = ((cols % p) % tile).astype(jnp.float32)
+    ly = ((cols % p) // tile).astype(jnp.float32)
+    is_x = (blk_id < 3) & (rows == blk_id * 3)
+    is_y = (blk_id < 3) & (rows == blk_id * 3 + 1)
+    is_1 = ((blk_id < 3) & (rows == blk_id * 3 + 2)) | (
+        (blk_id == 3) & (rows == _C_GID)
+    )
+    # Local pixel coords (< tile) and the "1"s are EXACT in bf16 at any
+    # image size; the per-tile origin is added via ``omat`` below.
+    pmat = jnp.where(is_x, lx, jnp.where(is_y, ly, jnp.where(is_1, 1.0, 0.0))).astype(
+        jnp.bfloat16
+    )  # (16, 4P)
 
-    lane32 = jax.lax.broadcasted_iota(jnp.int32, (p, _COLS), 1)
+    rows32 = jax.lax.broadcasted_iota(jnp.int32, (_COLS, p), 0)
 
     def tile_body(tl, _):
         t = tg * tiles_per_step + tl  # global tile id (counts lookup)
         count = counts_ref[b, t]
-        # Affine evaluation splits global pixel coords into LOCAL coords
-        # (< tile, exact in bf16 at any image size) plus the tile ORIGIN
-        # (a multiple of the tile edge — also exact in bf16), evaluated as
-        # one extra (1, 3) dot whose (1, K) result broadcasts over pixels.
-        pmat = jnp.where(
-            lane3 == 0, lx, jnp.where(lane3 == 1, ly, 1.0)
-        ).astype(jnp.bfloat16)  # (P, 3) with the constant column
+        # Tile-origin companion of ``pmat``: rows (3q, 3q+1) of column q
+        # carry (tx, ty) — a multiple of the tile edge, exact in bf16 — so
+        # ``coef^T @ omat`` is the affine forms' origin contribution, one
+        # (CK, 4) column block broadcast over pixels.  The gid column is 0.
         tyi = (t // n_tx) * tile
         txi = (t % n_tx) * tile
-        lane3_row = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        rows_o = jax.lax.broadcasted_iota(jnp.int32, (_NROW, 4), 0)
+        cols_o = jax.lax.broadcasted_iota(jnp.int32, (_NROW, 4), 1)
+        o_is_x = (cols_o < 3) & (rows_o == cols_o * 3)
+        o_is_y = (cols_o < 3) & (rows_o == cols_o * 3 + 1)
         omat = jnp.where(
-            lane3_row == 0,
+            o_is_x,
             txi.astype(jnp.float32),
-            jnp.where(lane3_row == 1, tyi.astype(jnp.float32), 0.0),
-        ).astype(jnp.bfloat16)  # (1, 3), no constant column
-        ones_p = jnp.ones((p, 1), jnp.bfloat16)
-
-        def ab_t(a_bf, bmat, omat_bf=None):
-            # a (P, d) @ bmat (K, d)^T -> (P, K) on the MXU.  The TPU MXU
-            # truncates f32 operands to bf16 at DEFAULT precision, which
-            # corrupts the O(100) affine constants enough to flip inside
-            # tests on ~15% of pixels; 6-pass HIGHEST costs ~16 ms/step.
-            # The left operands (integer pixel coords / tile origins /
-            # ones) are EXACT in bf16, so two DEFAULT dots against the
-            # right operand's bf16 high/low halves give 16-bit-mantissa
-            # accuracy at full MXU rate.  With ``omat_bf`` the per-tile
-            # origin contribution is added as a broadcast (1, K) row.
-            b_hi = bmat.astype(jnp.bfloat16)
-            b_lo = (bmat - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-            def one(lhs, mat):
-                return lax.dot_general(
-                    lhs,
-                    mat,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            out = one(a_bf, b_hi) + one(a_bf, b_lo)
-            if omat_bf is not None:
-                out = out + (one(omat_bf, b_hi) + one(omat_bf, b_lo))
-            return out
+            jnp.where(o_is_y, tyi.astype(jnp.float32), 0.0),
+        ).astype(jnp.bfloat16)  # (16, 4)
 
         def chunk_body(ci, carry):
             s = ci * _CHUNK
-            blk = cand_ref[0, tl, pl.ds(s, _CHUNK), :]  # (CK, 32)
-            u = ab_t(pmat, blk[:, _C_AU : _C_AU + 3], omat)  # (P, CK)
-            v = ab_t(pmat, blk[:, _C_AV : _C_AV + 3], omat)
-            zd = ab_t(pmat, blk[:, _C_AZ : _C_AZ + 3], omat)
-            # Outer product broadcasts the per-candidate face id to pixels.
-            gid = ab_t(ones_p, blk[:, _C_GID : _C_GID + 1])
+            blk = cand_ref[0, tl, :, pl.ds(s, _CHUNK)]  # (32, CK)
+            # The TPU MXU truncates f32 operands to bf16 at DEFAULT
+            # precision, which corrupts the O(100) affine constants enough
+            # to flip inside tests on ~15% of pixels; 6-pass HIGHEST costs
+            # ~16 ms/step.  The pixel-side operands are EXACT in bf16, so
+            # two DEFAULT dots against the coefficients' bf16 high/low
+            # halves give 16-bit-mantissa accuracy at full MXU rate (this
+            # also makes the face-id broadcast exact to 2^16).
+            c16 = blk[0:_NROW, :]  # (16, CK) coeffs + gid (+ zero rows)
+            c_hi = c16.astype(jnp.bfloat16)
+            c_lo = (c16 - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def aff(rhs):
+                return lax.dot_general(
+                    c_hi,
+                    rhs,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + lax.dot_general(
+                    c_lo,
+                    rhs,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            main = aff(pmat)  # (CK, 4P): [u | v | zd | gid] lane blocks
+            org = aff(omat)  # (CK, 4): per-candidate origin contributions
+            u = main[:, 0:p] + org[:, 0:1]
+            v = main[:, p : 2 * p] + org[:, 1:2]
+            zd = main[:, 2 * p : 3 * p] + org[:, 2:3]
+            gid = main[:, 3 * p : 4 * p]
 
             w0 = 1.0 - u - v
             # Dead faces and out-of-count slots were neutralized during
@@ -334,62 +366,64 @@ def _raster_group_kernel(
             inside = (w0 > 0) & (v >= 0) & (u >= 0)
             # Hits have zdenom > 0; maximizing it minimizes the
             # perspective-correct depth 1/zdenom without any division.
-            zm = jnp.where(inside, zd, 0.0)  # (P, CK)
-            zmax = jnp.max(zm, axis=1, keepdims=True)  # (P, 1)
+            zm = jnp.where(inside, zd, 0.0)  # (CK, P)
+            zmax = jnp.max(zm, axis=0, keepdims=True)  # (1, P)
             # When zmax == 0 (no hit in this chunk) the equality below can
             # fire for several dead candidates at once and ``sel`` sums
             # their zero/garbage payloads — harmless: ``better`` is False
             # for zmax == 0 and the carry keeps the previous winner.
             k_masked = jnp.where(zm == zmax, gid, jnp.float32(_BIG_K))
-            kmin = jnp.min(k_masked, axis=1, keepdims=True)  # (P, 1)
-            onehot = (k_masked == kmin).astype(jnp.float32)
+            kmin = jnp.min(k_masked, axis=0, keepdims=True)  # (1, P)
+            onehot = (k_masked == kmin).astype(jnp.float32)  # (CK, P)
 
             best_zd, best_d = carry
-            better = zmax > best_zd
+            better = zmax > best_zd  # (1, P)
             # Winner-payload selection: one-hot matmuls are exact in bf16,
             # so select the payload's bf16 high and low halves with two
-            # DEFAULT-precision dots (6-pass HIGHEST here cost ~16 ms/step)
-            # and recombine — 16-bit-mantissa accuracy at bf16 speed.
+            # DEFAULT-precision dots and recombine.
             blk_hi = blk.astype(jnp.bfloat16)
             blk_lo = (blk - blk_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             oh_bf = onehot.astype(jnp.bfloat16)
 
             def sel_dot(m):
                 return lax.dot_general(
-                    oh_bf,
                     m,
+                    oh_bf,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
 
-            sel = sel_dot(blk_hi) + sel_dot(blk_lo)  # (P, 32) winner payload
+            sel = sel_dot(blk_hi) + sel_dot(blk_lo)  # (32, P) winner payload
             return (
                 jnp.where(better, zmax, best_zd),
                 jnp.where(better, sel, best_d),
             )
 
-        def chunk_loop(ci, carry):
-            return chunk_body(ci, carry)
-
         best_zd, best_d = jax.lax.fori_loop(
             0,
             (count + _CHUNK - 1) // _CHUNK,
-            chunk_loop,
-            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, _COLS), jnp.float32)),
+            chunk_body,
+            (jnp.zeros((1, p), jnp.float32), jnp.zeros((_COLS, p), jnp.float32)),
         )
-        # zdenom rides in a pad column of the payload row (a separate
-        # (P, 1) output would lane-pad to 128 and double the VMEM bill).
-        bestd_ref[0, tl] = jnp.where(lane32 == _C_ZD, best_zd, best_d)
+        # zdenom rides in a pad row of the payload column (a separate
+        # (1, P) output block would sublane-pad to 8 for nothing).
+        bestd_ref[0, tl] = jnp.where(rows32 == _C_ZD, best_zd, best_d)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_step, tile_body, 0)
 
 
-def _detile(x, b, n_ty, n_tx, tile, h, w):
-    extra = x.shape[4:]
-    x = x.reshape((b, n_ty, n_tx, tile, tile) + extra)
-    x = jnp.moveaxis(x, 3, 2)
-    return x.reshape((b, h, w) + extra)
+def _detile_cols(x, b, n_ty, n_tx, tile, h, w):
+    """(B, T, C, P) tile-major planes -> (B, C, H, W) channel-second image.
+
+    The decode runs in tile space first so only the ~10 planes the caller
+    actually consumes go through this transpose, not the winner table's
+    full 32 columns (the pixel-major (…, P, 32) orientation additionally
+    lane-padded the table 4x; measured ~2.5 ms/pass at B=16, 256px)."""
+    c = x.shape[2]
+    x = x.reshape(b, n_ty, n_tx, c, tile, tile)
+    x = jnp.transpose(x, (0, 3, 1, 4, 2, 5))
+    return x.reshape(b, c, h, w)
 
 
 def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
@@ -417,11 +451,12 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
         w,
         mc,
     )
-    k = cand.shape[2]
+    k = cand.shape[3]
 
-    # Per-tile VMEM: double-buffered candidate + payload blocks, both
-    # lane-padded to 128; keep the working set under ~10 MB.
-    per_tile = (k + p) * _LANE * 4 * 2
+    # Per-tile VMEM: double-buffered candidate + payload blocks (both
+    # lane-dense); keep the streamed working set under ~10 MB (the kernel's
+    # (CK, 4P) affine intermediates live on top of this).
+    per_tile = _COLS * (k + p) * 4 * 2
     tg_budget = max(1, (10 << 20) // per_tile)
     tiles_per_step = int(os.environ.get("GIF_TPU_RASTER_TG", "0")) or min(
         8, tg_budget, n_tiles
@@ -439,48 +474,72 @@ def _raster_core(face_verts_pix, face_attrs, h, w, tile, max_tris_per_tile):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_groups),
-        in_specs=[pl.BlockSpec((1, tiles_per_step, k, _COLS), tg4)],
-        out_specs=pl.BlockSpec((1, tiles_per_step, p, _COLS), tg4),
+        in_specs=[pl.BlockSpec((1, tiles_per_step, _COLS, k), tg4)],
+        out_specs=pl.BlockSpec((1, tiles_per_step, _COLS, p), tg4),
     )
     interpret = jax.default_backend() != "tpu"
     bestd = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles, p, _COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, _COLS, p), jnp.float32),
         interpret=interpret,
     )(counts, cand)
 
     # --- decode the winner payload with dense XLA ops (no gathers) ---
-    d_img = _detile(
-        bestd.reshape(b, n_tiles, tile, tile, _COLS), b, n_ty, n_tx, tile, h, w
-    )
-    zd_img = d_img[..., _C_ZD]
-    hit = zd_img > 0
-    depth = jnp.where(hit, 1.0 / jnp.where(hit, zd_img, 1.0), BIG_DEPTH)
-    tri = jnp.where(hit, d_img[..., _C_GID].astype(jnp.int32), -1)
+    # Decode in TILE space (B, T, …, P): the affine forms, masks and the
+    # attribute interpolation are all per-pixel, so they don't care about
+    # pixel order — only the ~10 planes the caller consumes pass through
+    # the tile->image transpose, not the 32-column winner table.
+    pix = jnp.arange(p, dtype=jnp.int32)[None, :]
+    tix = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
+    px_t = ((tix % n_tx) * tile + pix % tile).astype(jnp.float32)[None]  # (1,T,P)
+    py_t = ((tix // n_tx) * tile + pix // tile).astype(jnp.float32)[None]
 
-    px = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    py = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    zd_t = bestd[:, :, _C_ZD]  # (B, T, P)
+    hit_t = zd_t > 0
 
     def affine(base):
         return (
-            d_img[..., base] * px + d_img[..., base + 1] * py + d_img[..., base + 2]
+            bestd[:, :, base] * px_t
+            + bestd[:, :, base + 1] * py_t
+            + bestd[:, :, base + 2]
         )
 
-    u = affine(_C_AU)
-    v = affine(_C_AV)
-    w0 = 1.0 - u - v
-    bary = jnp.stack([w0, v, u], axis=-1)
-    bary = jnp.where(hit[..., None], bary, 0.0)
+    u_t = affine(_C_AU)
+    v_t = affine(_C_AV)
+    w0_t = 1.0 - u_t - v_t
+
+    planes = [
+        zd_t,
+        jnp.where(hit_t, bestd[:, :, _C_GID], -1.0),
+        jnp.where(hit_t, w0_t, 0.0),
+        jnp.where(hit_t, v_t, 0.0),
+        jnp.where(hit_t, u_t, 0.0),
+    ]
+    if n_attrs:
+        a0 = bestd[:, :, _C_ATTR : _C_ATTR + n_attrs]
+        a1 = bestd[:, :, _C_ATTR + n_attrs : _C_ATTR + 2 * n_attrs]
+        a2 = bestd[:, :, _C_ATTR + 2 * n_attrs : _C_ATTR + 3 * n_attrs]
+        attr_t = (
+            w0_t[:, :, None] * a0 + v_t[:, :, None] * a1 + u_t[:, :, None] * a2
+        )
+        planes.append(jnp.where(hit_t[:, :, None], attr_t, 0.0))
+
+    stacked = jnp.concatenate(
+        [pl_[:, :, None] if pl_.ndim == 3 else pl_ for pl_ in planes], axis=2
+    )  # (B, T, 5 + D, P)
+    img = _detile_cols(stacked, b, n_ty, n_tx, tile, h, w)  # (B, 5 + D, H, W)
+
+    zd_img = img[:, 0]
+    hit = zd_img > 0
+    depth = jnp.where(hit, 1.0 / jnp.where(hit, zd_img, 1.0), BIG_DEPTH)
+    tri = img[:, 1].astype(jnp.int32)
+    bary = jnp.moveaxis(img[:, 2:5], 1, -1)  # (B, H, W, 3) [w0, v, u]
     rast = RasterOutput(depth, tri, bary, overflow)
 
     attr_img = None
     if n_attrs:
-        a0 = d_img[..., _C_ATTR : _C_ATTR + n_attrs]
-        a1 = d_img[..., _C_ATTR + n_attrs : _C_ATTR + 2 * n_attrs]
-        a2 = d_img[..., _C_ATTR + 2 * n_attrs : _C_ATTR + 3 * n_attrs]
-        attr_img = w0[..., None] * a0 + v[..., None] * a1 + u[..., None] * a2
-        attr_img = jnp.where(hit[..., None], attr_img, 0.0)
+        attr_img = jnp.moveaxis(img[:, 5 : 5 + n_attrs], 1, -1)  # NHWC
     return rast, attr_img
 
 
