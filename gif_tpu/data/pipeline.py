@@ -140,6 +140,21 @@ class FlameDataset:
         return params, indices
 
 
+def sample_flame_params(rng: np.random.Generator, n: int) -> np.ndarray:
+    """(n, 236) FLAME vectors with GIF-shaped statistics (the DECA-fit
+    layout of constants.DECA_IDX: shape/exp/pose/cam/tex/lit)."""
+    flame = np.zeros((n, 236), np.float32)
+    flame[:, :100] = rng.standard_normal((n, 100)) * 0.5  # shape
+    flame[:, 100:150] = rng.standard_normal((n, 50)) * 0.3  # exp
+    flame[:, 150:156] = rng.standard_normal((n, 6)) * 0.05  # pose
+    flame[:, 156] = 8.0 + rng.standard_normal(n) * 0.3  # cam scale
+    flame[:, 157:159] = rng.standard_normal((n, 2)) * 0.02
+    flame[:, 159:209] = rng.standard_normal((n, 50)) * 0.5  # tex
+    flame[:, 209:212] = 3.0  # constant SH band
+    flame[:, 212:236] = rng.standard_normal((n, 24)) * 0.2
+    return flame
+
+
 class SyntheticFlameDataset(FlameDataset):
     """Deterministic random dataset with GIF-shaped statistics for tests and
     benchmarking without the licensed FFHQ/DECA artifacts."""
@@ -147,17 +162,87 @@ class SyntheticFlameDataset(FlameDataset):
     def __init__(self, n: int = 256, size: int = 256, seed: int = 0):
         rng = np.random.default_rng(seed)
         images = rng.integers(0, 256, size=(n, size, size, 3), dtype=np.uint8)
-        flame = np.zeros((n, 236), np.float32)
-        flame[:, :100] = rng.standard_normal((n, 100)) * 0.5  # shape
-        flame[:, 100:150] = rng.standard_normal((n, 50)) * 0.3  # exp
-        flame[:, 150:156] = rng.standard_normal((n, 6)) * 0.05  # pose
-        flame[:, 156] = 8.0 + rng.standard_normal(n) * 0.3  # cam scale
-        flame[:, 157:159] = rng.standard_normal((n, 2)) * 0.02
-        flame[:, 159:209] = rng.standard_normal((n, 50)) * 0.5  # tex
-        flame[:, 209:212] = 3.0  # constant SH band
-        flame[:, 212:236] = rng.standard_normal((n, 24)) * 0.2
+        flame = sample_flame_params(rng, n)
         bad = rng.choice(n, size=n // 50, replace=False) if n >= 50 else None
         super().__init__(images, flame, bad_images=bad)
+
+
+class SyntheticRenderDataset(FlameDataset):
+    """Learnable synthetic dataset: each 'real' image is the FLAME render of
+    its own parameter vector, composited over a smooth procedural background
+    with mild pixel noise.
+
+    ``SyntheticFlameDataset``'s uniform-noise frames are trivially separable
+    from any generator output, so on them the discriminator saturates
+    (D -> 0) and the generator's adversarial loss grows without bound —
+    fine for benchmarking throughput, useless as evidence that the GAN
+    *trains*.  Here the target distribution sits inside the generator's
+    reachable set (it is conditioned on the very same render), so short
+    smoke/longitudinal runs exhibit genuine adversarial dynamics: D and G
+    hover near equilibrium and FID trends downward.
+
+    Rendering happens once at construction, batched on the active JAX
+    backend (seconds on TPU; use small ``size`` on CPU)."""
+
+    def __init__(
+        self,
+        res,
+        n: int = 256,
+        size: int = 256,
+        seed: int = 0,
+        render_batch: int = 16,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from gif_tpu import constants as cnst
+        from gif_tpu.render.renderer import render_tex_and_normal
+
+        rng = np.random.default_rng(seed)
+        flame = sample_flame_params(rng, n)
+
+        # Smooth two-corner gradient background per image (never confusable
+        # with the face: the foreground is masked in exactly).
+        c0 = rng.uniform(0.1, 0.9, (n, 1, 1, 3)).astype(np.float32)
+        c1 = rng.uniform(0.1, 0.9, (n, 1, 1, 3)).astype(np.float32)
+        yy = np.linspace(0.0, 1.0, size, dtype=np.float32)[None, :, None, None]
+        xx = np.linspace(0.0, 1.0, size, dtype=np.float32)[None, None, :, None]
+        bg = c0 + (c1 - c0) * (yy + xx) * 0.5  # (n, S, S, 3) in [0.1, 0.9]
+
+        ti, tj = cnst.DECA_IDX["tex"]
+        li, lj = cnst.DECA_IDX["lit"]
+        ci, cj = cnst.DECA_IDX["cam"]
+
+        @jax.jit
+        def _render(fp, bg_b, key):
+            b = fp.shape[0]
+            maps = render_tex_and_normal(
+                res,
+                fp[:, 0:100],
+                fp[:, 100:150],
+                fp[:, 150:156],
+                fp[:, ti:tj],
+                fp[:, li:lj].reshape(b, 9, 3),
+                fp[:, ci:cj],
+                image_size=size,
+                max_tris_per_tile=None,  # mesh-derived auto-sizing
+            )
+            fg = jnp.clip(maps.textured, 0.0, 1.0)
+            img = jnp.where(maps.mask[..., None], fg, bg_b)
+            img = img + jax.random.normal(key, img.shape) * 0.01
+            return jnp.clip(img, 0.0, 1.0)
+
+        key = jax.random.PRNGKey(seed)
+        images = np.empty((n, size, size, 3), np.uint8)
+        for s in range(0, n, render_batch):
+            e = min(s + render_batch, n)
+            img = _render(
+                jnp.asarray(flame[s:e]), jnp.asarray(bg[s:e]), jax.random.fold_in(key, s)
+            )
+            images[s:e] = np.asarray(
+                np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255), np.uint8
+            )
+        super().__init__(images, flame)
 
 
 def load_packed_dataset(path: str, **kwargs) -> FlameDataset:

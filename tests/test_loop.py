@@ -132,6 +132,25 @@ def test_dataset_iterator_and_accumulator():
         assert not bad.intersection(next(it)["indices"].tolist())
 
 
+def test_synthetic_render_dataset():
+    from gif_tpu.data.pipeline import SyntheticRenderDataset
+
+    ds = SyntheticRenderDataset(RES, n=8, size=32, seed=3, render_batch=4)
+    assert ds.images.shape == (8, 32, 32, 3) and ds.images.dtype == np.uint8
+    # The render is actually in-frame: images are not pure background
+    # gradients (the per-image corner gradient has zero high-frequency
+    # content, the face render does not).
+    hf = np.abs(np.diff(ds.images.astype(np.int32), axis=2)).max(axis=(1, 2, 3))
+    assert (hf > 16).all(), hf
+    # Deterministic across constructions.
+    ds2 = SyntheticRenderDataset(RES, n=8, size=32, seed=3, render_batch=4)
+    np.testing.assert_array_equal(ds.images, ds2.images)
+    # Batches feed the loop like any FlameDataset.
+    b = next(data_iterator(ds, 4, seed=0))
+    assert b["real_image"].shape == (4, 32, 32, 3)
+    assert b["flame"].shape == (4, 236)
+
+
 def test_sampler_round_trip():
     cfg = _cfg()
     state = create_train_state(cfg, jax.random.PRNGKey(0))

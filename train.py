@@ -54,6 +54,12 @@ def main():
     p.add_argument("--fid_n_samples", type=int, default=10_000)
     p.add_argument("--fid_real_samples", type=int, default=50_000)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--synthetic_images", choices=("noise", "renders"),
+                   default="noise",
+                   help="no-data image source: 'noise' (uniform frames; "
+                        "throughput work) or 'renders' (FLAME renders over "
+                        "procedural backgrounds — a learnable target, so "
+                        "smoke runs show real adversarial dynamics)")
     args = p.parse_args()
 
     if args.multihost or args.coordinator:
@@ -91,11 +97,21 @@ def main():
             compute_dtype="float32",
         )
         res = synthetic_flame_resources(seed=1, n_vertices=503)
-        dataset = SyntheticFlameDataset(n=64, size=32)
+        if args.synthetic_images == "renders":
+            from gif_tpu.data.pipeline import SyntheticRenderDataset
+
+            dataset = SyntheticRenderDataset(res, n=64, size=32)
+        else:
+            dataset = SyntheticFlameDataset(n=64, size=32)
     else:
         res = load_flame_resources(args.flame_resources)
         if args.data:
             dataset = load_packed_dataset(args.data)
+        elif args.synthetic_images == "renders":
+            from gif_tpu.data.pipeline import SyntheticRenderDataset
+
+            print("WARNING: no --data given; training on synthetic renders")
+            dataset = SyntheticRenderDataset(res, n=256, size=256)
         else:
             print("WARNING: no --data given; training on synthetic images")
             dataset = SyntheticFlameDataset(n=256, size=256)
