@@ -70,11 +70,9 @@ def main():
         inc_params = load_converted_params(args.inception_weights)
     else:
         print("WARNING: random Inception weights — FID values are relative only")
-        model = InceptionV3FID()
-        import jax.numpy as jnp
-        inc_params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))[
-            "params"
-        ]
+        from gif_tpu.eval.inception import random_fid_params
+
+        inc_params = random_fid_params()
     fid_computer = FidComputer(inc_params)
 
     dataset_params = None

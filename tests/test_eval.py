@@ -106,6 +106,28 @@ def test_fid_computer_end_to_end_small():
     assert fid_diff > fid_same
 
 
+def test_random_fid_params_features_are_live():
+    """He re-init keeps pool3 features alive (the default LeCun init
+    collapses them to a constant: measured std ~4e-6, making FID(any, any)
+    ~0 — see random_fid_params)."""
+    from gif_tpu.eval.inception import random_fid_params
+
+    model = InceptionV3FID()
+    params = random_fid_params()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 299, 299, 3)).astype(np.float32))
+    pool = np.asarray(model.apply({"params": params}, x))
+    assert pool.std(axis=0).mean() > 1e-3, pool.std(axis=0).mean()
+    # And the resulting relative metric separates distinct distributions.
+    fc = FidComputer(params, batch_size=8)
+    a = rng.uniform(0, 1, (16, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (16, 64, 64, 3)).astype(np.float32)
+    c = np.clip(rng.uniform(0, 1, (16, 64, 64, 3)) ** 4, 0, 1).astype(np.float32)
+    fid_same = fc.get_fid(b * 2 - 1, real_images01=a)
+    fid_diff = fc.get_fid(c * 2 - 1, real_images01=a)
+    assert fid_diff > 3 * fid_same, (fid_diff, fid_same)
+
+
 def test_fid_streaming_matches_materialized():
     """get_fid_streaming over batches == get_fid over the concatenation
     (bit-identical activations; only host-memory behavior differs)."""

@@ -132,19 +132,15 @@ def main():
 
     fid_computer = None
     if args.inception_weights == "random":
-        # Random-init Inception: FID becomes a *relative* metric (any
-        # params give a consistent ordering — see FidComputer docstring);
-        # exercises the full eval path without the licensed weight file.
-        import jax
-        import jax.numpy as jnp
+        # He-initialized random Inception: FID becomes a *relative* metric
+        # (consistent ordering; see random_fid_params for why the default
+        # init does NOT work); exercises the full eval path without the
+        # licensed weight file.
         from gif_tpu.eval import FidComputer
-        from gif_tpu.eval.inception import InceptionV3FID
+        from gif_tpu.eval.inception import random_fid_params
 
-        params = InceptionV3FID(fid_variant=True).init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
-        )["params"]
         fid_computer = FidComputer(
-            params, stats_dir=os.path.join(args.out_dir, "fid_stats")
+            random_fid_params(), stats_dir=os.path.join(args.out_dir, "fid_stats")
         )
     elif args.inception_weights and not os.path.exists(args.inception_weights):
         # Loud, not silent: a typo'd path would otherwise train for days
