@@ -27,11 +27,17 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         return None
     import jax
 
+    # Processes attached to a remote-compile tunnel write executables built
+    # on the REMOTE host's CPU into the cache; a later local-only process
+    # loading such an XLA:CPU AOT artifact trips machine-feature mismatch
+    # warnings (and risks SIGILL on genuinely missing ISA extensions).
+    # Segregate the two worlds.
+    tag = "tunnel" if os.environ.get("PALLAS_AXON_POOL_IPS") else "local"
     cache_dir = (
         cache_dir
         or os.environ.get("GIF_TPU_CACHE_DIR")
         or os.path.join(
-            os.path.expanduser("~"), ".cache", "gif_tpu", "xla"
+            os.path.expanduser("~"), ".cache", "gif_tpu", "xla", tag
         )
     )
     os.makedirs(cache_dir, exist_ok=True)
