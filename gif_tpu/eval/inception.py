@@ -212,24 +212,31 @@ def random_fid_params(seed: int = 0) -> dict:
     image sets is ~0 — useless even as a relative metric.  Re-sampling every
     kernel He-style (std sqrt(2/fan_in), variance-preserving under ReLU)
     keeps the features live: distinct distributions score ~2300x the
-    split-half noise floor on a 64-image probe (2026-08-19)."""
+    split-half noise floor on a 64-image probe (2026-08-19).
+
+    Construction is host-side numpy over eval_shape'd structure — zero
+    device programs.  (An eager ``net.init`` + per-leaf ``jax.random``
+    draws costs hundreds of tiny dispatches, each a multi-second remote
+    compile on a remote-compile tunnel.)"""
     net = InceptionV3FID(fid_variant=True)
-    params = net.init(jax.random.PRNGKey(seed), jnp.zeros((1, 299, 299, 3)))[
-        "params"
-    ]
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    key = jax.random.PRNGKey(seed + 1)
+    shapes = jax.eval_shape(
+        net.init, jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+    )["params"]
+    rng = np.random.default_rng(seed)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     out = []
-    for i, (path, leaf) in enumerate(flat):
+    for path, leaf in flat:
         name = path[-1].key if hasattr(path[-1], "key") else ""
-        if name == "kernel" and leaf.ndim >= 2:
+        if name == "kernel" and len(leaf.shape) >= 2:
             fan_in = int(np.prod(leaf.shape[:-1]))
-            out.append(
-                jax.random.normal(jax.random.fold_in(key, i), leaf.shape, leaf.dtype)
-                * np.sqrt(2.0 / fan_in)
+            arr = rng.standard_normal(leaf.shape).astype(leaf.dtype) * np.sqrt(
+                2.0 / fan_in
             )
-        else:
-            out.append(leaf)
+        elif name in ("bn_gamma", "bn_var"):
+            arr = np.ones(leaf.shape, leaf.dtype)
+        else:  # conv/dense bias, bn_beta, bn_mean
+            arr = np.zeros(leaf.shape, leaf.dtype)
+        out.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
