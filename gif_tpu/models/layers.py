@@ -229,7 +229,14 @@ class ConvLayer(nn.Module):
         x = x.astype(self.dtype)
         if self.downsample:
             p = (4 - 2) + (self.kernel_size - 1)
-            x = ops.blur(x, pad=((p + 1) // 2, p // 2))
+            pad0, pad1 = (p + 1) // 2, p // 2
+            # Even-sized blur output when the extra column is provably
+            # unread by the VALID stride-2 conv (see ops.conv.resample_mode).
+            py0, py1 = ops.even_extended_pad(x.shape[1], pad0, pad1, 4,
+                                             self.kernel_size)
+            px0, px1 = ops.even_extended_pad(x.shape[2], pad0, pad1, 4,
+                                             self.kernel_size)
+            x = ops.blur(x, pad=(py0, py1, px0, px1))
             stride, padding = 2, 0
         else:
             stride, padding = 1, self.kernel_size // 2

@@ -20,7 +20,12 @@ from gif_tpu.ops.upfirdn import (
     blur,
 )
 from gif_tpu.ops.linear import equal_linear, pixel_norm, EqualLinearParams
-from gif_tpu.ops.conv import equal_conv2d, modulated_conv2d
+from gif_tpu.ops.conv import (
+    equal_conv2d,
+    even_extended_pad,
+    modulated_conv2d,
+    resample_mode,
+)
 from gif_tpu.ops.activations import fused_leaky_relu, scaled_leaky_relu
 from gif_tpu.ops.stddev import minibatch_stddev
 
