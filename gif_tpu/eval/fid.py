@@ -75,6 +75,24 @@ class FidComputer:
         self._apply = jax.jit(
             lambda p, x: self.model.apply({"params": p}, preprocess_for_fid(x))
         )
+        # Device-resident variants: over a dispatch tunnel the naive loop
+        # (read back generated images, rescale on host, re-upload) moves
+        # ~50 MB/batch; these keep images on-device end-to-end so only the
+        # (batch, 2048) activations ever cross the wire.
+        self._apply_m1p1 = jax.jit(
+            lambda p, x: self.model.apply(
+                {"params": p},
+                preprocess_for_fid(
+                    jnp.clip((x.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+                ),
+            )
+        )
+        # uint8 store chunks upload 4x smaller and scale on device.
+        self._apply_u8 = jax.jit(
+            lambda p, x: self.model.apply(
+                {"params": p}, preprocess_for_fid(x.astype(jnp.float32) / 255.0)
+            )
+        )
 
     def activations(self, images01: np.ndarray) -> np.ndarray:
         """Pool3 activations for (N, H, W, 3) images, batched
@@ -87,17 +105,26 @@ class FidComputer:
         n = len(images01)
         bs = self.batch_size
         for i in range(0, n, bs):
-            chunk = images01[i : i + bs]
-            if chunk.dtype == np.uint8:
-                chunk = np.asarray(chunk, np.float32) / 255.0
-            chunk = np.asarray(chunk, np.float32)
+            chunk = np.asarray(images01[i : i + bs])
+            is_u8 = chunk.dtype == np.uint8
+            if not is_u8:
+                chunk = np.asarray(chunk, np.float32)
             pad = 0
             if len(chunk) < bs:  # pad to keep one compiled shape
                 pad = bs - len(chunk)
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            act = np.asarray(self._apply(self.params, jnp.asarray(chunk)))
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            apply = self._apply_u8 if is_u8 else self._apply
+            act = np.asarray(apply(self.params, jnp.asarray(chunk)))
             outs.append(act[: bs - pad])
         return np.concatenate(outs, axis=0)
+
+    def activations_device(self, images_m1p1) -> np.ndarray:
+        """Pool3 activations for a DEVICE-resident [-1, 1] image batch:
+        rescale + Inception run on-chip, only the (batch, 2048) result is
+        read back.  Same numbers as :meth:`activations` on the host copy."""
+        return np.asarray(self._apply_m1p1(self.params, images_m1p1))
 
     def statistics(self, images01: np.ndarray):
         return activation_statistics(self.activations(images01))
@@ -147,9 +174,19 @@ class FidComputer:
         same preprocessing, same batching inside :meth:`activations`."""
         acts, res = [], None
         for batch in generated_batches_m1p1:
-            gen01 = np.clip((np.asarray(batch) + 1.0) / 2.0, 0.0, 1.0)
-            res = gen01.shape[1]
-            acts.append(self.activations(gen01))
+            n_valid = None
+            if isinstance(batch, tuple):  # (padded batch, n_valid rows)
+                batch, n_valid = batch
+            if isinstance(batch, jax.Array):
+                # Device-resident fast path: no image readback, no
+                # re-upload — only the activations come home.
+                act = self.activations_device(batch)
+                res = int(batch.shape[1])
+            else:
+                gen01 = np.clip((np.asarray(batch) + 1.0) / 2.0, 0.0, 1.0)
+                res = gen01.shape[1]
+                act = self.activations(gen01)
+            acts.append(act if n_valid is None else act[:n_valid])
         if not acts:
             raise ValueError("no generated batches")
         mu_g, sig_g = activation_statistics(np.concatenate(acts, axis=0))

@@ -44,6 +44,40 @@ def load_generator_params(cfg, ckpt: str | None = None,
     return state.g_ema_params, state.buffers
 
 
+# Compiled sample functions, keyed by the static configuration.  A fresh
+# ``jax.jit`` closure per FlameSampler would retrace + recompile on every
+# FID eval of a training run (the sampler is rebuilt each cadence to pick
+# up new EMA params — which are *arguments*, not constants); caching at
+# module level makes eval #2.. onward pay only device execution.
+_SAMPLE_FN_CACHE: dict = {}
+
+
+def _cached_sample_fn(cfg, res, eye_center, max_tris_per_tile, w_truncation_factor):
+    key = (repr(cfg), id(res), eye_center, max_tris_per_tile, w_truncation_factor)
+    hit = _SAMPLE_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # max_tris_per_tile=None flows to the renderer's mesh-derived
+    # auto-sizing (same policy as the train step).
+    gen, _ = build_models(cfg, w_truncation_factor=w_truncation_factor)
+
+    def _sample(g_params, buffers, flame, indices, mean_w):
+        if eye_center:
+            flame = position_to_given_location(res, flame)
+        cond = render_condition_maps(res, flame, cfg, max_tris_per_tile)
+        return gen.apply(
+            {"params": g_params, "buffers": buffers},
+            cond,
+            input_indices=indices,
+            step=cfg.max_step,
+            mean_w=mean_w,
+        ), cond
+
+    hit = (gen, jax.jit(_sample))
+    _SAMPLE_FN_CACHE[key] = hit
+    return hit
+
+
 class FlameSampler:
     """generator(flame_params_236, indices) -> images, batched."""
 
@@ -61,32 +95,18 @@ class FlameSampler:
         self.cfg = cfg
         self.res = res
         self.batch_size = batch_size
-        # max_tris_per_tile=None flows to the renderer's mesh-derived
-        # auto-sizing (same policy as the train step).
-        gen, _ = build_models(cfg, w_truncation_factor=w_truncation_factor)
+        gen, self._fn = _cached_sample_fn(
+            cfg, res, eye_center, max_tris_per_tile, w_truncation_factor
+        )
         if abs(w_truncation_factor - 1.0) > 0.01:
             # Precompute the mean latent over the identity table
             # (reference stg2_generator.py:278-283).
-            mean_w = gen.apply(
+            self._mean_w = gen.apply(
                 {"params": g_params, "buffers": buffers},
                 method=lambda m: m.mean_latent(),
             )
         else:
-            mean_w = None
-
-        def _sample(g_params, buffers, flame, indices):
-            if eye_center:
-                flame = position_to_given_location(res, flame)
-            cond = render_condition_maps(res, flame, cfg, max_tris_per_tile)
-            return gen.apply(
-                {"params": g_params, "buffers": buffers},
-                cond,
-                input_indices=indices,
-                step=cfg.max_step,
-                mean_w=mean_w,
-            ), cond
-
-        self._fn = jax.jit(_sample)
+            self._mean_w = None
         self._g_params = g_params
         self._buffers = buffers
 
@@ -103,8 +123,31 @@ class FlameSampler:
             if pad:
                 fl = np.concatenate([fl, np.repeat(fl[-1:], pad, 0)])
                 ix = np.concatenate([ix, np.repeat(ix[-1:], pad, 0)])
-            img, cond = self._fn(self._g_params, self._buffers, jnp.asarray(fl), jnp.asarray(ix))
+            img, cond = self._fn(
+                self._g_params, self._buffers, jnp.asarray(fl), jnp.asarray(ix),
+                self._mean_w,
+            )
             yield np.asarray(img)[: bs - pad], np.asarray(cond)[: bs - pad]
+
+    def sample_batches_device(self, flame_params: np.ndarray, indices: np.ndarray):
+        """Yield ``(images_device, n_valid)`` with the padded [-1, 1] image
+        batch left ON the device — for consumers that keep computing there
+        (FIDComputer.get_fid_streaming's device path).  Over the TPU tunnel
+        this skips ~37 MB/batch of image+cond readback."""
+        n = len(flame_params)
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            fl = np.asarray(flame_params[i : i + bs], np.float32)
+            ix = np.asarray(indices[i : i + bs], np.int32)
+            pad = bs - len(fl)
+            if pad:
+                fl = np.concatenate([fl, np.repeat(fl[-1:], pad, 0)])
+                ix = np.concatenate([ix, np.repeat(ix[-1:], pad, 0)])
+            img, _ = self._fn(
+                self._g_params, self._buffers, jnp.asarray(fl), jnp.asarray(ix),
+                self._mean_w,
+            )
+            yield img, bs - pad
 
     def sample(self, flame_params: np.ndarray, indices: np.ndarray):
         """Host-side batched driver (generic_utils.py:33-55): returns

@@ -188,7 +188,7 @@ def train(
                 # Inception sweep, so the 50k pass never materializes in
                 # f32 either.
                 fid = fid_computer.get_fid_streaming(
-                    (img for img, _ in sampler.sample_batches(flame_10k, idx_10k)),
+                    sampler.sample_batches_device(flame_10k, idx_10k),
                     real_images01=dataset.images[:fid_real_samples],
                 )
                 if viz.flame_params is None:

@@ -98,9 +98,10 @@ def main():
         # O(batch) — sampler.sample() would hold ~7.9 GB of f32 images
         # (plus the unused condition maps) at the 10k protocol scale.
         acts = []
-        for img, _ in sampler.sample_batches(flame, indices):
-            gen01 = np.clip((np.asarray(img) + 1.0) / 2.0, 0.0, 1.0)
-            acts.append(fid_computer.activations(gen01))
+        for img, n_valid in sampler.sample_batches_device(flame, indices):
+            # Device-resident: images feed Inception without leaving the
+            # chip; only (batch, 2048) activations come back.
+            acts.append(fid_computer.activations_device(img)[:n_valid])
         return activation_statistics(np.concatenate(acts, axis=0))
 
     if real_images is not None:

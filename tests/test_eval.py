@@ -148,6 +148,49 @@ def test_fid_streaming_matches_materialized():
     np.testing.assert_allclose(fid_stream, fid_mat, rtol=1e-6)
 
 
+def test_fid_device_path_matches_host_path():
+    """The device-resident (padded batch, n_valid) streaming path — no image
+    readback — must agree with the host numpy path to float tolerance."""
+    model = InceptionV3FID()
+    rng = np.random.default_rng(2)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+    )["params"]
+    fc = FidComputer(params, batch_size=4)
+
+    real = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    gen = rng.uniform(-1, 1, (10, 32, 32, 3)).astype(np.float32)
+
+    def device_batches():
+        for i in range(0, len(gen), 4):
+            chunk = gen[i : i + 4]
+            pad = 4 - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, 32, 32, 3), np.float32)])
+            yield jnp.asarray(chunk), 4 - pad
+
+    fid_host = fc.get_fid_streaming(
+        (gen[i : i + 4] for i in range(0, len(gen), 4)), real_images01=real
+    )
+    fid_dev = fc.get_fid_streaming(device_batches(), real_images01=real)
+    np.testing.assert_allclose(fid_dev, fid_host, rtol=1e-4)
+
+
+def test_activations_uint8_matches_float():
+    """uint8 chunks (4x smaller uploads, on-device scaling) == the f32
+    host-scaled path."""
+    model = InceptionV3FID()
+    rng = np.random.default_rng(3)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+    )["params"]
+    fc = FidComputer(params, batch_size=4)
+    u8 = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    a = fc.activations(u8)
+    b = fc.activations(u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
 def test_real_stats_cache(tmp_path):
     model = InceptionV3FID()
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))["params"]

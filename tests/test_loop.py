@@ -167,3 +167,24 @@ def test_sampler_round_trip():
     assert images.shape == (6, 32, 32, 3)
     assert conds.shape == (6, 32, 32, cfg.cond_channels)
     assert np.isfinite(images).all()
+
+
+def test_sampler_reuses_compiled_fn_across_instances():
+    """The FID cadence rebuilds the sampler around fresh EMA params each
+    eval; the compiled function must be shared (params are arguments, not
+    baked constants) or every eval pays a retrace+recompile."""
+    cfg = _cfg()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    s1 = FlameSampler(cfg, RES, state.g_ema_params, state.buffers, batch_size=4)
+    s2 = FlameSampler(cfg, RES, state.g_ema_params, state.buffers, batch_size=4)
+    assert s1._fn is s2._fn
+    # Different params through the same compiled fn give different images.
+    state2 = create_train_state(cfg, jax.random.PRNGKey(7))
+    s3 = FlameSampler(cfg, RES, state2.g_ema_params, state2.buffers, batch_size=4)
+    assert s3._fn is s1._fn
+    flame = np.zeros((4, 236), np.float32)
+    flame[:, 156] = 8.0
+    idx = np.arange(4, dtype=np.int32)
+    a, _ = s1.sample(flame, idx)
+    b, _ = s3.sample(flame, idx)
+    assert not np.allclose(a, b)
