@@ -52,8 +52,17 @@ def resample_mode() -> str:
       (2*2*Cout) channels followed by a depth-to-space interleave: a single
       large MXU contraction at even sizes, no depthwise FIR pass, no odd
       intermediate.  Same values up to float reassociation.
+
+    Hardware A/B (bench.py run_id-8, v5e 1 chip, median of 3 chains,
+    2026-08-19): legacy **70.44**, even 70.20, phase 63.06 imgs/s.  The
+    composite kernel's 4x MAC increase on the upsample convs costs more
+    than the fused-FIR/odd-shape savings buy, and map parity alone is
+    perf-neutral — XLA's fused chains already handle the odd maps well
+    (same in-model lesson as the Pallas blur, upfirdn._pallas_blur_wanted).
+    ``legacy`` therefore stays the default; the others remain selectable
+    for experimentation and regression tracking.
     """
-    return os.environ.get("GIF_TPU_RESAMPLE", "phase")
+    return os.environ.get("GIF_TPU_RESAMPLE", "legacy")
 
 
 def even_extended_pad(h: int, pad0: int, pad1: int, taps_len: int, consumer_k: int):
