@@ -49,11 +49,23 @@ def load_generator_params(cfg, ckpt: str | None = None,
 # FID eval of a training run (the sampler is rebuilt each cadence to pick
 # up new EMA params — which are *arguments*, not constants); caching at
 # module level makes eval #2.. onward pay only device execution.
+# Bounded (ADVICE r4): entries hold compiled executables + a model, so a
+# config/resolution sweep in one process must not accumulate forever.
 _SAMPLE_FN_CACHE: dict = {}
+_SAMPLE_FN_CACHE_MAX = 8
 
 
 def _cached_sample_fn(cfg, res, eye_center, max_tris_per_tile, w_truncation_factor):
-    key = (repr(cfg), id(res), eye_center, max_tris_per_tile, w_truncation_factor)
+    from gif_tpu.ops.conv import resample_mode
+
+    # Key on res's CONTENT fingerprint, never id() (ADVICE r4: id reuse can
+    # alias two different resources), and include the resample mode — it is
+    # read at trace time inside the jitted fn, so flipping GIF_TPU_RESAMPLE
+    # between builds must not return a stale compile.
+    key = (
+        repr(cfg), res.fingerprint(), eye_center, max_tris_per_tile,
+        w_truncation_factor, resample_mode(),
+    )
     hit = _SAMPLE_FN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -74,6 +86,8 @@ def _cached_sample_fn(cfg, res, eye_center, max_tris_per_tile, w_truncation_fact
         ), cond
 
     hit = (gen, jax.jit(_sample))
+    while len(_SAMPLE_FN_CACHE) >= _SAMPLE_FN_CACHE_MAX:
+        _SAMPLE_FN_CACHE.pop(next(iter(_SAMPLE_FN_CACHE)))
     _SAMPLE_FN_CACHE[key] = hit
     return hit
 

@@ -95,6 +95,33 @@ class FlameResources:
     def n_faces(self) -> int:
         return self.faces.shape[0]
 
+    def fingerprint(self) -> str:
+        """Cheap stable content hash for cache keys.
+
+        Never key caches on ``id(res)``: after GC the id can be reused by a
+        different resources object (ADVICE r4).  Hashes every field's shape,
+        dtype, total size, and head/tail bytes — O(KB) work regardless of
+        array size — computed once and memoized on the instance.
+        """
+        fp = self.__dict__.get("_fingerprint")
+        if fp is None:
+            import hashlib
+
+            h = hashlib.sha1()
+            for f in dataclasses.fields(self):
+                v = getattr(self, f.name)
+                h.update(f.name.encode())
+                if isinstance(v, np.ndarray):
+                    buf = np.ascontiguousarray(v).view(np.uint8).reshape(-1)
+                    h.update(f"{v.shape}{v.dtype}{v.nbytes}".encode())
+                    h.update(buf[:4096].tobytes())
+                    h.update(buf[-4096:].tobytes())
+                else:
+                    h.update(repr(v).encode())
+            fp = h.hexdigest()
+            object.__setattr__(self, "_fingerprint", fp)
+        return fp
+
 
 def _fibonacci_sphere(n: int) -> np.ndarray:
     """n deterministic, well-spread unit vectors."""

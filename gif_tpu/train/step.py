@@ -372,8 +372,14 @@ def make_train_step(
                     max_tris_per_tile=max_tris_per_tile,
                 )
                 if cfg.adaptive_interp_loss:
+                    # Scale by the ACCUMULATED detached G loss so far —
+                    # adversarial + regularizer + embedding terms — exactly
+                    # the reference's `0.25*fake_gen_loss.detach()/
+                    # interp_loss.detach()` where fake_gen_loss has
+                    # accumulated every prior term (train.py:235-237; the
+                    # interp term is always added last there too).
                     interp = interp * 0.25 * lax.stop_gradient(
-                        aux["g_adv"]
+                        aux["g_adv"] + loss
                     ) / lax.stop_gradient(interp)
                 loss = loss + interp
                 aux["interp"] = interp

@@ -97,8 +97,15 @@ def test_loop_fid_branch_streams_batches(tmp_path):
 
             assert isinstance(batches, types.GeneratorType)
             for b in batches:
+                # Device batches arrive as (padded batch, n_valid) tuples
+                # (gif_tpu/eval/fid.py:178-181); bare arrays stay legal.
+                n_valid = None
+                if isinstance(b, tuple):
+                    b, n_valid = b
                 assert b.ndim == 4 and b.shape[-1] == 3
-                assert np.isfinite(b).all()
+                assert np.isfinite(np.asarray(b)).all()
+                if n_valid is not None:
+                    assert 0 < n_valid <= b.shape[0]
                 self.batches += 1
             assert real_images01 is not None
             return 123.5

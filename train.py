@@ -60,6 +60,12 @@ def main():
                         "throughput work) or 'renders' (FLAME renders over "
                         "procedural backgrounds — a learnable target, so "
                         "smoke runs show real adversarial dynamics)")
+    p.add_argument("--synthetic_n", type=int, default=256,
+                   help="synthetic dataset size. At 256 the discriminator "
+                        "memorizes the set within a few hundred steps "
+                        "(d_loss -> 0, g_loss spikes, FID rises — the r4 "
+                        "longitudinal pathology); thousands of images keep "
+                        "the adversarial game honest")
     args = p.parse_args()
 
     if args.multihost or args.coordinator:
@@ -111,10 +117,10 @@ def main():
             from gif_tpu.data.pipeline import SyntheticRenderDataset
 
             print("WARNING: no --data given; training on synthetic renders")
-            dataset = SyntheticRenderDataset(res, n=256, size=256)
+            dataset = SyntheticRenderDataset(res, n=args.synthetic_n, size=256)
         else:
             print("WARNING: no --data given; training on synthetic images")
-            dataset = SyntheticFlameDataset(n=256, size=256)
+            dataset = SyntheticFlameDataset(n=args.synthetic_n, size=256)
         cfg = get_config(
             args.run_id,
             batch_size=args.batch_size,
