@@ -94,6 +94,19 @@ def main(run_id: int = 8):
         "spread": round(max(rates) - min(rates), 3),
         "chains": [round(r, 3) for r in rates],
     }
+    # MFU (VERDICT r4 item 3): FLOPs/step from XLA's cost model on the
+    # compiled program (includes remat/fusion waste), against the chip's
+    # dense bf16 peak.  The persistent compilation cache makes the extra
+    # lower+compile cheap.  scripts/mfu_report.py carries the analytic
+    # conv-count cross-check.
+    from gif_tpu.utils.flops import compiled_flops, device_peak_flops
+
+    flops_step = compiled_flops(step_fn, state, data, key)
+    peak = device_peak_flops()
+    if flops_step:
+        line["flops_per_step"] = float(f"{flops_step:.4g}")
+        if peak:
+            line["mfu"] = round(flops_step * (imgs_per_sec / batch) / peak, 4)
     if run_id != 8:
         line["render_overflow"] = float(metrics["render_overflow"])
     print(json.dumps(line))

@@ -278,14 +278,31 @@ def save_flame_resources(res: FlameResources, path: str) -> None:
 
 
 def load_flame_resources(path: str | None = None, allow_synthetic: bool = True) -> FlameResources:
-    """Load the consolidated resource npz, else the synthetic fallback."""
-    if path is not None and os.path.exists(path):
+    """Load the consolidated resource npz, else the synthetic fallback.
+
+    ``path`` may also be the sentinel ``"synthetic"`` (full-size synthetic
+    model) or ``"synthetic_small"`` (503-vertex mesh — CPU smoke runs,
+    e2e script tests).  An explicit file path that does NOT exist raises —
+    a typo'd path must not silently train/sample against synthetic
+    geometry."""
+    if path == "synthetic":
+        return synthetic_flame_resources()
+    if path == "synthetic_small":
+        return synthetic_flame_resources(seed=1, n_vertices=503)
+    if path is not None:
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"FLAME resources not found at {path!r}; run "
+                "gif_tpu.tools.convert_flame on the official FLAME "
+                "artifacts (docs/REAL_ARTIFACTS.md), or pass "
+                "'synthetic'/'synthetic_small'."
+            )
         data = np.load(path)
         kwargs = {k: data[k] for k in _FIELDS if k in data}
         return FlameResources(**kwargs, is_synthetic=False)
     if not allow_synthetic:
         raise FileNotFoundError(
-            f"FLAME resources not found at {path!r}; run gif_tpu.tools.convert_flame "
+            "no FLAME resource path given; run gif_tpu.tools.convert_flame "
             "on the official FLAME artifacts, or pass allow_synthetic=True."
         )
     return synthetic_flame_resources()

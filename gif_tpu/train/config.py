@@ -141,6 +141,19 @@ _PRESETS = {
 }
 
 
+# Overrides for interactive CPU smoke runs (scripts' --tiny flag, e2e
+# script tests): XLA:CPU executes per-sample modulated-conv work serially,
+# so the 512-channel 256px model takes minutes per batch on host.
+TINY_OVERRIDES = dict(
+    max_size=32,
+    init_size=32,
+    render_image_size=32,
+    max_channels=16,
+    nmlp_for_z_to_w=2,
+    compute_dtype="float32",
+)
+
+
 def get_config(run_id: int = 0, **overrides) -> TrainConfig:
     if run_id not in _PRESETS:
         raise ValueError(
