@@ -91,17 +91,22 @@ def main():
     p.add_argument("--steal_textures", action="store_true")
     p.add_argument("--vocab", type=int, default=69158)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="32px/16ch smoke config (CPU e2e runs; pair with "
+                        "--flame_resources synthetic_small)")
     args = p.parse_args()
 
     import jax.numpy as jnp
 
     from gif_tpu.train import get_config
+    from gif_tpu.train.config import TINY_OVERRIDES
     from gif_tpu.flame.resources import load_flame_resources
     from gif_tpu.eval.sampling import FlameSampler, random_flame_params
     from gif_tpu.utils.viz import save_set_of_images
     from scripts.generate_random_samples import load_params
 
-    cfg = get_config(args.run_id, embedding_vocab_size=args.vocab)
+    cfg = get_config(args.run_id, embedding_vocab_size=args.vocab,
+                     **(TINY_OVERRIDES if args.tiny else {}))
     res = load_flame_resources(args.flame_resources)
     g_params, buffers = load_params(args, cfg)
     # Eye-centering is applied HERE (host-side) rather than inside the
