@@ -11,7 +11,8 @@ FLAME parameters in one ``.npy`` dict of 70k entries (dataset_loaders.py:
 Pre-rendered DECA condition LMDBs are deliberately NOT imported — the TPU
 pipeline renders conditions on-device (SURVEY.md §2.17).
 
-Requires the optional ``lmdb`` and ``PIL`` packages (import-gated).
+Uses the C ``lmdb`` package when installed, else the pure-Python read-only
+parser in ``gif_tpu.data.lmdb_reader`` (zero extra deps).
 """
 
 from __future__ import annotations
@@ -44,14 +45,15 @@ def import_ffhq_lmdb(
     bad_images_file: str | None = None,
     limit: int | None = None,
 ) -> str:
+    from PIL import Image
+
     try:
         import lmdb
-        from PIL import Image
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise ImportError(
-            "lmdb/PIL are required for importing the reference datasets: "
-            f"{e}"
-        ) from e
+    except ImportError:
+        # Zero-dep fallback: a pure-Python read-only parser of the LMDB
+        # on-disk format — the import is a one-shot readonly scan, exactly
+        # its supported scope.
+        from gif_tpu.data import lmdb_reader as lmdb
 
     os.makedirs(out_dir, exist_ok=True)
     params_raw = np.load(flame_params_file, allow_pickle=True)
