@@ -155,70 +155,51 @@ def interpolate_flame_batch(flame_labels: jnp.ndarray, rng) -> jnp.ndarray:
     return jnp.concatenate([head, flame_labels[:-1, 159:]], axis=-1)
 
 
-def texture_interpolation_loss(
-    res,
-    flame_batch: jnp.ndarray,
-    generator_apply,
-    rng,
-    *,
-    rendered_flame_as_condition: bool = True,
-    normal_maps_as_cond: bool = True,
-    max_ids: int = 1,
-    face_region_mask: jnp.ndarray | None = None,
-    image_size: int = 256,
-    max_tris_per_tile: int | None = None,
-):
-    """Texture must be invariant to FLAME articulation (losses.py:160-236).
-
-    Renders the (already interpolated) DECA-format flame batch with a shared
-    light/texture code, generates images for ONE random fixed identity,
-    steals their textures, and penalizes pairwise texture differences inside
-    the face region under the common visibility mask.
-
-    Args:
-      flame_batch: (N, 236) un-normalized DECA params (N = batch - 1).
-      generator_apply: (cond_maps, indices) -> images, closure over params.
-
-    Returns scalar loss.
-    """
+def interp_render_flame(flame_batch: jnp.ndarray) -> jnp.ndarray:
+    """Substitute row 0's tex/light into every row — the interpolation loss
+    renders all interpolants under ONE shared texture + lighting code
+    (losses.py:180-189)."""
     n = flame_batch.shape[0]
-    shape = flame_batch[:, 0:100]
-    exp = flame_batch[:, 100:150]
-    pose = flame_batch[:, 150:156]
-    cam = flame_batch[:, cnst.DECA_IDX["cam"][0] : cnst.DECA_IDX["cam"][1]]
-    light = jnp.tile(
-        flame_batch[0:1, cnst.DECA_IDX["lit"][0] : cnst.DECA_IDX["lit"][1]], (n, 1)
-    ).reshape(n, 9, 3)
-    tex = jnp.tile(
-        flame_batch[0:1, cnst.DECA_IDX["tex"][0] : cnst.DECA_IDX["tex"][1]], (n, 1)
-    )
+    ti, tj = cnst.DECA_IDX["tex"]
+    li, lj = cnst.DECA_IDX["lit"]
+    out = flame_batch
+    out = out.at[:, ti:tj].set(jnp.tile(flame_batch[0:1, ti:tj], (n, 1)))
+    out = out.at[:, li:lj].set(jnp.tile(flame_batch[0:1, li:lj], (n, 1)))
+    return out
 
-    maps = render_tex_and_normal(
-        res,
-        shape,
-        exp,
-        pose,
-        tex,
-        light,
-        cam,
-        image_size=image_size,
-        max_tris_per_tile=max_tris_per_tile,
-    )
-    rend = jnp.clip(maps.textured, 0.0, 1.0) * 2.0 - 1.0
-    norm = jnp.clip(maps.normal, 0.0, 1.0) * 2.0 - 1.0
 
+def interp_condition_channels(
+    textured: jnp.ndarray,
+    normal: jnp.ndarray,
+    *,
+    rendered_flame_as_condition: bool,
+    normal_maps_as_cond: bool,
+) -> jnp.ndarray:
+    """Raw render maps -> generator conditioning for the interp branch.
+    NB: unlike the real-data conditioning there is NO 8-bit floor
+    quantization here — the reference feeds the live render straight in
+    (losses.py:190-196)."""
+    rend = jnp.clip(textured, 0.0, 1.0) * 2.0 - 1.0
+    norm = jnp.clip(normal, 0.0, 1.0) * 2.0 - 1.0
     if rendered_flame_as_condition and normal_maps_as_cond:
-        gen_in = jnp.concatenate([rend, norm], axis=-1)
-    elif rendered_flame_as_condition:
-        gen_in = rend
-    else:
-        gen_in = norm
+        return jnp.concatenate([rend, norm], axis=-1)
+    if rendered_flame_as_condition:
+        return rend
+    return norm
 
-    rng_id, rng_pairs = jax.random.split(rng)
-    fixed_identity = jax.random.randint(rng_id, (), 0, max_ids)
-    indices = jnp.full((n,), fixed_identity, jnp.int32)
-    images = generator_apply(gen_in, indices)
 
+def interp_penalty_from_images(
+    res,
+    images: jnp.ndarray,
+    flame_batch: jnp.ndarray,
+    rng_pairs,
+    face_region_mask: jnp.ndarray | None = None,
+):
+    """Pairwise texture-consistency penalty given the generated interpolant
+    images: steal textures back and penalize masked pairwise differences.
+    Split from :func:`texture_interpolation_loss` so the fused train step
+    can batch the generator forward with the main one."""
+    n = flame_batch.shape[0]
     textures, vis = flame_texture_space(res, images, flame_batch[:, :159])
 
     if face_region_mask is None:
@@ -257,3 +238,63 @@ def texture_interpolation_loss(
     tx_j = textures[pj] * common
     per_pair = jnp.mean(jax.nn.sigmoid((tx_i - tx_j) ** 2) * mask2d, axis=(1, 2, 3))
     return 16.0 * jnp.sum(per_pair) / n_pick
+
+
+def texture_interpolation_loss(
+    res,
+    flame_batch: jnp.ndarray,
+    generator_apply,
+    rng,
+    *,
+    rendered_flame_as_condition: bool = True,
+    normal_maps_as_cond: bool = True,
+    max_ids: int = 1,
+    face_region_mask: jnp.ndarray | None = None,
+    image_size: int = 256,
+    max_tris_per_tile: int | None = None,
+):
+    """Texture must be invariant to FLAME articulation (losses.py:160-236).
+
+    Renders the (already interpolated) DECA-format flame batch with a shared
+    light/texture code, generates images for ONE random fixed identity,
+    steals their textures, and penalizes pairwise texture differences inside
+    the face region under the common visibility mask.
+
+    Composed from :func:`interp_render_flame` / :func:`interp_condition_channels`
+    / :func:`interp_penalty_from_images`; the fused train step calls those
+    pieces directly so the render and generator forward batch with the main
+    ones (one raster + one G program per step instead of two of each).
+
+    Args:
+      flame_batch: (N, 236) un-normalized DECA params (N = batch - 1).
+      generator_apply: (cond_maps, indices) -> images, closure over params.
+
+    Returns scalar loss.
+    """
+    n = flame_batch.shape[0]
+    fp = interp_render_flame(flame_batch)
+    maps = render_tex_and_normal(
+        res,
+        fp[:, 0:100],
+        fp[:, 100:150],
+        fp[:, 150:156],
+        fp[:, cnst.DECA_IDX["tex"][0] : cnst.DECA_IDX["tex"][1]],
+        fp[:, cnst.DECA_IDX["lit"][0] : cnst.DECA_IDX["lit"][1]].reshape(n, 9, 3),
+        fp[:, cnst.DECA_IDX["cam"][0] : cnst.DECA_IDX["cam"][1]],
+        image_size=image_size,
+        max_tris_per_tile=max_tris_per_tile,
+    )
+    gen_in = interp_condition_channels(
+        maps.textured,
+        maps.normal,
+        rendered_flame_as_condition=rendered_flame_as_condition,
+        normal_maps_as_cond=normal_maps_as_cond,
+    )
+
+    rng_id, rng_pairs = jax.random.split(rng)
+    fixed_identity = jax.random.randint(rng_id, (), 0, max_ids)
+    indices = jnp.full((n,), fixed_identity, jnp.int32)
+    images = generator_apply(gen_in, indices)
+    return interp_penalty_from_images(
+        res, images, flame_batch, rng_pairs, face_region_mask
+    )

