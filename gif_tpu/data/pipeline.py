@@ -169,8 +169,12 @@ class SyntheticFlameDataset(FlameDataset):
 
 class SyntheticRenderDataset(FlameDataset):
     """Learnable synthetic dataset: each 'real' image is the FLAME render of
-    its own parameter vector, composited over a smooth procedural background
-    with mild pixel noise.
+    its own parameter vector, composited over a smooth procedural background.
+    Every pixel is a deterministic function of the sample's own conditioning
+    inputs (flame params -> condition maps; background -> per-sample identity
+    embedding), so the target distribution lies inside the deterministic
+    conditional generator's reachable set — the property that makes short
+    adversarial runs converge instead of diverge (see noise_std below).
 
     ``SyntheticFlameDataset``'s uniform-noise frames are trivially separable
     from any generator output, so on them the discriminator saturates
@@ -191,6 +195,7 @@ class SyntheticRenderDataset(FlameDataset):
         size: int = 256,
         seed: int = 0,
         render_batch: int = 16,
+        noise_std: float = 0.0,
     ):
         import jax
         import jax.numpy as jnp
@@ -229,7 +234,19 @@ class SyntheticRenderDataset(FlameDataset):
             )
             fg = jnp.clip(maps.textured, 0.0, 1.0)
             img = jnp.where(maps.mask[..., None], fg, bg_b)
-            img = img + jax.random.normal(key, img.shape) * 0.01
+            # noise_std defaults to ZERO: GIF's generator is fully
+            # deterministic given (condition maps, identity index) — the
+            # reference replaces StyleGAN2's per-pixel noise injection with
+            # condition injection (stylegan2_common_layers.py:388-431), so
+            # iid sensor noise on the real images sits OUTSIDE the
+            # generator's support and hands the discriminator an
+            # unconditioned spectral tell it separates on at ANY dataset
+            # size (measured: runs/longitudinal_r05_noisytell, n=8192,
+            # relative FID 17.3@250 -> 51.7@500 with d_loss collapsing to
+            # ~1e-2 at <0.5 epochs).  A learnable probe target must lie in
+            # the reachable set; keep the knob for A/B only.
+            if noise_std:
+                img = img + jax.random.normal(key, img.shape) * noise_std
             return jnp.clip(img, 0.0, 1.0)
 
         key = jax.random.PRNGKey(seed)
