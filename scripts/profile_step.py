@@ -23,10 +23,16 @@ def run(out_dir="/tmp/gif-profile", n_steps=3, run_id=8):
     from gif_tpu.flame.resources import synthetic_flame_resources
 
     batch = 16
-    cfg = get_config(run_id, embedding_vocab_size=1024, batch_size=batch, r1_interval=1)
+    # Match bench.py's protocol per run_id: run 8 forces R1 every step (the
+    # reference's 17 s/iter anecdote config); other presets (e.g. the run-0
+    # flagship with the interp loss) keep their own cadence so the profile
+    # is of the program FLAGSHIP_r*.json actually times.
+    kwargs = {"r1_interval": 1} if run_id == 8 else {}
+    cfg = get_config(run_id, embedding_vocab_size=1024, batch_size=batch, **kwargs)
     res = synthetic_flame_resources()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step_fn = make_train_step(cfg, res, max_tris_per_tile=512, donate=True)
+    cap = 512 if run_id == 8 else None
+    step_fn = make_train_step(cfg, res, max_tris_per_tile=cap, donate=True)
 
     rng = np.random.default_rng(0)
     flame = np.zeros((batch, 236), np.float32)

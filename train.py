@@ -66,6 +66,15 @@ def main():
                         "(d_loss -> 0, g_loss spikes, FID rises — the r4 "
                         "longitudinal pathology); thousands of images keep "
                         "the adversarial game honest")
+    p.add_argument("--r1_weight", type=float, default=None,
+                   help="override the preset R1 gamma. StyleGAN2 practice "
+                        "tunes gamma per dataset; the reference's 5.0 is "
+                        "its FFHQ value — on low-entropy synthetic probes "
+                        "D overpowers G at that strength (d_loss -> 1e-2, "
+                        "limit cycles, EMA FID rises)")
+    p.add_argument("--r1_interval", type=int, default=None,
+                   help="override the preset lazy-R1 cadence (reference: "
+                        "every 16, train.py:145)")
     args = p.parse_args()
 
     if args.multihost or args.coordinator:
@@ -127,13 +136,24 @@ def main():
             embedding_vocab_size=len(dataset),
         )
 
-    if args.fid_every or args.checkpoint_every:
+    if (
+        args.fid_every
+        or args.checkpoint_every
+        or args.r1_weight is not None
+        or args.r1_interval is not None
+    ):
         import dataclasses
 
         cfg = dataclasses.replace(
             cfg,
             fid_every=args.fid_every or cfg.fid_every,
             checkpoint_every=args.checkpoint_every or cfg.checkpoint_every,
+            r1_weight=(
+                cfg.r1_weight if args.r1_weight is None else args.r1_weight
+            ),
+            r1_interval=(
+                cfg.r1_interval if args.r1_interval is None else args.r1_interval
+            ),
         )
 
     fid_computer = None
