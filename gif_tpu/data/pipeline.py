@@ -186,7 +186,10 @@ class SyntheticRenderDataset(FlameDataset):
     hover near equilibrium and FID trends downward.
 
     Rendering happens once at construction, batched on the active JAX
-    backend (seconds on TPU; use small ``size`` on CPU)."""
+    backend (seconds on TPU; use small ``size`` on CPU), then cached on
+    disk keyed by (n, size, seed, noise_std, mesh) — pass ``cache_dir=""``
+    to force a rebuild, or a directory to relocate the cache (default
+    ``~/.cache/gif_tpu/synth``)."""
 
     def __init__(
         self,
@@ -196,6 +199,7 @@ class SyntheticRenderDataset(FlameDataset):
         seed: int = 0,
         render_batch: int = 16,
         noise_std: float = 0.0,
+        cache_dir: str | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -249,6 +253,31 @@ class SyntheticRenderDataset(FlameDataset):
                 img = img + jax.random.normal(key, img.shape) * noise_std
             return jnp.clip(img, 0.0, 1.0)
 
+        # Disk cache keyed by the full recipe: the n/16 sequential render
+        # dispatches are the longest unprotected device interaction in a
+        # launch (hundreds of RPCs over the axon tunnel, any of which can
+        # hang a relaunch if the pool drops one), and the result is a pure
+        # function of the key — so build once, mmap thereafter.
+        cache = None
+        if cache_dir is None:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "gif_tpu", "synth"
+            )
+        if cache_dir:
+            import hashlib
+
+            res_tag = hashlib.sha1(
+                np.ascontiguousarray(res.v_template).tobytes()
+            ).hexdigest()[:10]
+            cache = os.path.join(
+                cache_dir,
+                f"renders_n{n}_s{size}_seed{seed}_ns{noise_std:g}_{res_tag}.npz",
+            )
+        if cache and os.path.exists(cache):
+            with np.load(cache) as d:
+                super().__init__(d["images"], d["flame"])
+                return
+
         key = jax.random.PRNGKey(seed)
         images = np.empty((n, size, size, 3), np.uint8)
         for s in range(0, n, render_batch):
@@ -259,6 +288,13 @@ class SyntheticRenderDataset(FlameDataset):
             images[s:e] = np.asarray(
                 np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255), np.uint8
             )
+            if s % (64 * render_batch) == 0:
+                print(f"SyntheticRenderDataset: {e}/{n} rendered", flush=True)
+        if cache:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = cache + ".tmp.npz"
+            np.savez(tmp, images=images, flame=flame)
+            os.replace(tmp, cache)
         super().__init__(images, flame)
 
 

@@ -49,6 +49,12 @@ class TrainConfig:
     r1_interval: int = 16  # grad penalty every 16th iter (train.py:145)
     r1_weight: float = 5.0  # losses.py:96
     n_critic: float = 1.0
+    # Instance noise on every image D sees (real, fake, and G's scored
+    # fakes; fresh iid draw per evaluation).  0 = off (the reference
+    # recipe).  Stabilizer for targets where the reals lie on a
+    # low-dimensional manifold of the condition — see
+    # docs/experiments/fid_dynamics_r05.md.
+    d_input_noise_std: float = 0.0
 
     # --- regularizers / D negatives ---
     shfld_cond_as_neg_smpl: bool = False  # shuffled-condition negatives

@@ -337,6 +337,27 @@ def make_train_step(
         else:
             d_fake_images = fake_images
             d_fake_cond = cond
+
+        # Instance noise (Sønderby et al. 2017): the SAME iid perturbation
+        # distribution on every image D sees — real, fake, and the fakes G
+        # is scored on — smears both distributions off their manifolds so
+        # D cannot separate them by a measure-zero feature.  Motivated by
+        # the synthetic probe, where the real frame EQUALS the condition
+        # render on the face region and D (which receives the render as
+        # input channels) wins by thresholding |image - render| == 0 —
+        # perfect separation until G is pixel-exact, R1-proof because a
+        # saturated D has near-zero gradients AT the reals (measured r1
+        # ~0.02 at gamma=50; docs/experiments/fid_dynamics_r05.md).  Off
+        # by default: the reference recipe has no analogue.
+        ins_std = cfg.d_input_noise_std
+
+        def d_in(img, key):
+            if not ins_std:
+                return img
+            return img + jax.random.normal(key, img.shape, img.dtype) * ins_std
+
+        real_d = d_in(real, jax.random.fold_in(rng_d, 2))
+        d_fake_images = d_in(d_fake_images, jax.random.fold_in(rng_d, 3))
         do_r1 = (state.step + 1) % cfg.r1_interval == 0
 
         if cfg.r1_interval == 1:
@@ -351,7 +372,7 @@ def make_train_step(
             # (second-order, same pattern as ``L.path_length_penalty``).
             def d_loss_fn(d_params):
                 real_scores, in_vjp = jax.vjp(
-                    lambda img: d_apply(d_params, img, cond), real
+                    lambda img: d_apply(d_params, img, cond), real_d
                 )
                 fake_scores = d_apply(d_params, d_fake_images, d_fake_cond)
                 loss = L.d_ns_loss(real_scores, fake_scores)
@@ -363,13 +384,13 @@ def make_train_step(
                 return loss + r1, (loss, r1)
         else:
             def d_loss_fn(d_params):
-                real_scores = d_apply(d_params, real, cond)
+                real_scores = d_apply(d_params, real_d, cond)
                 fake_scores = d_apply(d_params, d_fake_images, d_fake_cond)
                 loss = L.d_ns_loss(real_scores, fake_scores)
                 r1 = lax.cond(
                     do_r1,
                     lambda: L.r1_penalty(
-                        d_apply, d_params, real, cond, cfg.r1_weight
+                        d_apply, d_params, real_d, cond, cfg.r1_weight
                     ),
                     lambda: jnp.asarray(0.0, jnp.float32),
                 )
@@ -390,8 +411,10 @@ def make_train_step(
         # 181-193 — fractional values train G int(1/n) times per D step,
         # integer values > 1 train G only every n-th step.
         # ------------------------------------------------------------------
-        def g_adv_loss(fake):
-            return L.g_ns_loss(d_apply(d_params, fake, cond))
+        def g_adv_loss(fake, key):
+            # Instance noise: G is scored through the same noised view of
+            # its output that D trains on (fresh draw per evaluation).
+            return L.g_ns_loss(d_apply(d_params, d_in(fake, key), cond))
 
         def g_loss_terms(g_params, pl_mean_in, rng_pl, rng_interp, g_adv):
             """All G-loss terms except the adversarial one (whose forward
@@ -502,20 +525,20 @@ def make_train_step(
             aux["pl_mean"] = pl_mean
             return loss, aux
 
-        def g_loss_fn(g_params, pl_mean_in, rng_pl, rng_interp):
+        def g_loss_fn(g_params, pl_mean_in, rng_pl, rng_interp, rng_adv):
             fake = g_apply(g_params, state.buffers, cond, indices)
-            g_adv = g_adv_loss(fake)
+            g_adv = g_adv_loss(fake, rng_adv)
             rest, aux = g_loss_terms(g_params, pl_mean_in, rng_pl, rng_interp, g_adv)
             return g_adv + rest, aux
 
         def g_update(g_params, g_opt_state, ema, pl_mean_in, rng_i, reuse_fwd):
-            rng_pl_i, rng_int_i = jax.random.split(rng_i)
+            rng_pl_i, rng_int_i, rng_adv_i = jax.random.split(rng_i, 3)
             if do_fuse:
                 # g_params == state.g_params here: both image-space losses —
                 # adversarial on rows [:b], interp penalty on rows [b:] —
                 # chain through the ONE saved forward.
                 def image_losses(fake_all):
-                    g_adv = g_adv_loss(fake_all[:b])
+                    g_adv = g_adv_loss(fake_all[:b], rng_adv_i)
                     interp_raw = L.interp_penalty_from_images(
                         res, fake_all[b:], flm_interp, rng_pairs, frm
                     )
@@ -550,7 +573,9 @@ def make_train_step(
             elif reuse_fwd:
                 # g_params == state.g_params here: chain the adversarial
                 # gradient through the saved D-phase forward.
-                g_adv, dfake = jax.value_and_grad(g_adv_loss)(fake_images_live)
+                g_adv, dfake = jax.value_and_grad(
+                    lambda f: g_adv_loss(f, rng_adv_i)
+                )(fake_images_live)
                 (adv_grads,) = g_fwd_vjp(dfake)
                 (rest, g_aux), rest_grads = jax.value_and_grad(
                     g_loss_terms, has_aux=True
@@ -560,7 +585,7 @@ def make_train_step(
             else:
                 (g_total, g_aux), g_grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True
-                )(g_params, pl_mean_in, rng_pl_i, rng_int_i)
+                )(g_params, pl_mean_in, rng_pl_i, rng_int_i, rng_adv_i)
             if mesh is not None:
                 g_grads = lax.pmean(g_grads, "data")
             g_updates, g_opt_state = g_tx.update(g_grads, g_opt_state, g_params)

@@ -314,3 +314,43 @@ def test_reused_forward_matches_recompute():
         jax.tree_util.tree_leaves(g_reuse), jax.tree_util.tree_leaves(g_full)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_instance_noise_off_is_reference_program():
+    """d_input_noise_std=0 must leave the step bit-identical to the
+    reference recipe (the knob is compile-time gated, not a runtime
+    multiply-by-zero)."""
+    cfg0 = tiny_config()
+    cfg1 = tiny_config(d_input_noise_std=0.0)
+    state = create_train_state(cfg0, jax.random.PRNGKey(0))
+    batch = make_batch(cfg0, cfg0.batch_size)
+    s0, m0 = make_train_step(cfg0, RES, max_tris_per_tile=256)(
+        state, batch, jax.random.PRNGKey(1)
+    )
+    s1, m1 = make_train_step(cfg1, RES, max_tris_per_tile=256)(
+        state, batch, jax.random.PRNGKey(1)
+    )
+    assert float(m0["d_loss"]) == float(m1["d_loss"])
+    assert _tree_l1_diff(s0.g_params, s1.g_params) == 0.0
+
+
+def test_instance_noise_perturbs_d_not_target():
+    """With d_input_noise_std > 0 the step still trains (finite metrics,
+    both nets move) and the D loss differs from the clean program — but
+    the generator's forward/target pipeline (condition maps, G output) is
+    untouched: only D's view is noised."""
+    cfg = tiny_config(d_input_noise_std=0.05)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg, cfg.batch_size)
+    step_fn = make_train_step(cfg, RES, max_tris_per_tile=256)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    for k in ["d_loss", "g_loss", "g_total"]:
+        assert np.isfinite(float(metrics[k])), k
+    assert _tree_l1_diff(state.g_params, new_state.g_params) > 0
+    assert _tree_l1_diff(state.d_params, new_state.d_params) > 0
+
+    clean = tiny_config()
+    _, m_clean = make_train_step(clean, RES, max_tris_per_tile=256)(
+        state, batch, jax.random.PRNGKey(1)
+    )
+    assert float(m_clean["d_loss"]) != float(metrics["d_loss"])

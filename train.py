@@ -11,9 +11,17 @@ training still runs, logging NaN FID like the reference's --debug mode.
 """
 
 import argparse
+import faulthandler
 import os
 
 import numpy as np
+
+# The axon tunnel can drop an RPC and leave the client futex-waiting
+# forever (observed twice during round-5 longitudinal relaunches: host CPU
+# time frozen, main thread in futex_do_wait, epoll thread idle).  Dump all
+# thread stacks to stderr every 20 min so a hung launch.log shows WHERE it
+# is stuck instead of just going silent.
+faulthandler.dump_traceback_later(1200, repeat=True)
 
 
 def main():
@@ -75,6 +83,14 @@ def main():
     p.add_argument("--r1_interval", type=int, default=None,
                    help="override the preset lazy-R1 cadence (reference: "
                         "every 16, train.py:145)")
+    p.add_argument("--d_input_noise", type=float, default=None,
+                   help="instance-noise std on all D inputs (real AND "
+                        "fake, fresh draw per evaluation) — stabilizer "
+                        "for probe datasets whose reals are an exact "
+                        "function of the condition, where D wins by "
+                        "thresholding |image - condition| and R1 cannot "
+                        "stop it (a saturated D has ~zero gradient at the "
+                        "reals). 0/off = the reference recipe")
     args = p.parse_args()
 
     if args.multihost or args.coordinator:
@@ -141,6 +157,7 @@ def main():
         or args.checkpoint_every
         or args.r1_weight is not None
         or args.r1_interval is not None
+        or args.d_input_noise is not None
     ):
         import dataclasses
 
@@ -153,6 +170,11 @@ def main():
             ),
             r1_interval=(
                 cfg.r1_interval if args.r1_interval is None else args.r1_interval
+            ),
+            d_input_noise_std=(
+                cfg.d_input_noise_std
+                if args.d_input_noise is None
+                else args.d_input_noise
             ),
         )
 
