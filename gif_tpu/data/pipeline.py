@@ -191,6 +191,11 @@ class SyntheticRenderDataset(FlameDataset):
     to force a rebuild, or a directory to relocate the cache (default
     ``~/.cache/gif_tpu/synth``)."""
 
+    # ``conditionally_exact`` (set in __init__): every frame is a
+    # deterministic function of its own conditioning row unless the
+    # noise_std A/B knob is on — the training loop uses it to log an exact
+    # EMA-reconstruction progress metric.
+
     def __init__(
         self,
         res,
@@ -207,6 +212,7 @@ class SyntheticRenderDataset(FlameDataset):
         from gif_tpu import constants as cnst
         from gif_tpu.render.renderer import render_tex_and_normal
 
+        self.conditionally_exact = not noise_std
         rng = np.random.default_rng(seed)
         flame = sample_flame_params(rng, n)
 

@@ -127,7 +127,91 @@ def train(
     )
     rng_key = jax.random.PRNGKey(1234 + seed)
     fid = float("nan")
+    recon = float("nan")
     t_last = time.perf_counter()
+
+    def run_eval(i):
+        """FID + pixel-recon sweep on the EMA generator; ``i`` is the loop
+        index (the artifacts are stamped ``i + 1``; ``-1`` = before any
+        training step — the untrained baseline every later measurement is
+        judged against)."""
+        nonlocal fid, recon, t_last
+        flame_10k, idx_10k = dataset.get_10k_flame_params()
+        if nproc > 1:
+            # Host-side allgather (SURVEY §5.8): pool every process's
+            # accumulated TRUE fits so the FID conditioning protocol
+            # sees the global stream, then evaluate on process 0 only.
+            from gif_tpu.parallel.collectives import allgather_rows
+
+            flame_10k, idx_10k = allgather_rows(
+                (flame_10k, idx_10k), max_rows=fid_n_samples
+            )
+        flame_10k = flame_10k[:fid_n_samples]
+        idx_10k = idx_10k[: len(flame_10k)]
+        if is_main:
+            # Replicated EMA params are addressable on this host; pull
+            # them local so sampling stays collective-free while the
+            # other processes wait at the next step's all-reduce.
+            sampler = FlameSampler(
+                cfg, res,
+                host_local_tree(state.g_ema_params),
+                host_local_tree(state.buffers),
+                batch_size=min(cfg.batch_size, 16), eye_center=False,
+            )
+            # Streamed: generated batches flow straight through
+            # Inception, keeping only 2048-d activations — host memory
+            # O(batch), not O(10k images).  Real stats: cached per
+            # resolution (compute_fid.py:26-46); on a cache miss they
+            # come from up to 50k real frames like the reference
+            # protocol (compute_fid.py:42).  The uint8 frames are
+            # passed as-is (mem-mapped) and scaled per batch inside the
+            # Inception sweep, so the 50k pass never materializes in
+            # f32 either.
+            fid = fid_computer.get_fid_streaming(
+                sampler.sample_batches_device(flame_10k, idx_10k),
+                real_images01=dataset.images[:fid_real_samples],
+            )
+            if getattr(dataset, "conditionally_exact", False):
+                # Pixel-space progress metric: on datasets whose every
+                # frame is a deterministic function of its own
+                # conditioning (SyntheticRenderDataset), the EMA
+                # generator's reconstruction MSE against ground truth is
+                # direct evidence training improves the model — immune
+                # to single-eval FID phase noise
+                # (docs/experiments/fid_dynamics_r05.md).
+                k = min(64, len(dataset))
+                gt = (
+                    dataset.images[:k].astype(np.float32) / 255.0
+                ) * 2.0 - 1.0
+                out = sampler.sample(
+                    np.asarray(dataset.flame_params[:k], np.float32),
+                    np.arange(k, dtype=np.int32),
+                )[0]
+                recon = float(np.mean((out - gt) ** 2))
+            if viz.flame_params is None:
+                viz.set_flame_params(flame_10k[:50], idx_10k[:50])
+            viz.save_samples(
+                i,
+                lambda f, ix: sampler.sample(f, ix)[0],
+                resolution=cfg.max_size,
+                fid=fid,
+            )
+        # Don't charge the FID sweep to the next window's imgs/sec.
+        t_last = time.perf_counter()
+
+    if fid_computer is not None and start == 0:
+        # Untrained baseline (step 0): without it a short run's curve reads
+        # as "FID rises" even when every trained point is far below init —
+        # exactly the r4 misread.  The accumulator is empty before the
+        # first batch; seed it with the dataset's own TRUE fits (the same
+        # rows the stream would accumulate).
+        dataset.accumulate_batches_of_flm(
+            np.asarray(dataset.flame_params[:fid_n_samples], np.float32)
+        )
+        # The measured values ride in the ``fid`` / ``ema_recon`` columns of
+        # every row until the next sweep (same carry-forward semantics as
+        # mid-run evals); the 000000 sample grid carries it in its filename.
+        run_eval(-1)
 
     for i in range(start, total_iters):
         batch_np = next(it)
@@ -149,6 +233,7 @@ def train(
             t_last = time.perf_counter()
             m["imgs_per_sec"] = cfg.batch_size * log_every / dt
             m["fid"] = fid
+            m["ema_recon"] = recon
             logger.log(i + 1, m)
             print(
                 f"[{i + 1}] G {m['g_loss']:.3f} D {m['d_loss']:.3f} "
@@ -156,51 +241,7 @@ def train(
             )
 
         if (i + 1) % cfg.fid_every == 0 and fid_computer is not None:
-            flame_10k, idx_10k = dataset.get_10k_flame_params()
-            if nproc > 1:
-                # Host-side allgather (SURVEY §5.8): pool every process's
-                # accumulated TRUE fits so the FID conditioning protocol
-                # sees the global stream, then evaluate on process 0 only.
-                from gif_tpu.parallel.collectives import allgather_rows
-
-                flame_10k, idx_10k = allgather_rows(
-                    (flame_10k, idx_10k), max_rows=fid_n_samples
-                )
-            flame_10k = flame_10k[:fid_n_samples]
-            idx_10k = idx_10k[: len(flame_10k)]
-            if is_main:
-                # Replicated EMA params are addressable on this host; pull
-                # them local so sampling stays collective-free while the
-                # other processes wait at the next step's all-reduce.
-                sampler = FlameSampler(
-                    cfg, res,
-                    host_local_tree(state.g_ema_params),
-                    host_local_tree(state.buffers),
-                    batch_size=min(cfg.batch_size, 16), eye_center=False,
-                )
-                # Streamed: generated batches flow straight through
-                # Inception, keeping only 2048-d activations — host memory
-                # O(batch), not O(10k images).  Real stats: cached per
-                # resolution (compute_fid.py:26-46); on a cache miss they
-                # come from up to 50k real frames like the reference
-                # protocol (compute_fid.py:42).  The uint8 frames are
-                # passed as-is (mem-mapped) and scaled per batch inside the
-                # Inception sweep, so the 50k pass never materializes in
-                # f32 either.
-                fid = fid_computer.get_fid_streaming(
-                    sampler.sample_batches_device(flame_10k, idx_10k),
-                    real_images01=dataset.images[:fid_real_samples],
-                )
-                if viz.flame_params is None:
-                    viz.set_flame_params(flame_10k[:50], idx_10k[:50])
-                viz.save_samples(
-                    i,
-                    lambda f, ix: sampler.sample(f, ix)[0],
-                    resolution=cfg.max_size,
-                    fid=fid,
-                )
-            # Don't charge the FID sweep to the next window's imgs/sec.
-            t_last = time.perf_counter()
+            run_eval(i)
 
         # Orbax is multihost-native: every process participates (its manager
         # runs internal sync barriers) and the primary host does the writes.
