@@ -46,6 +46,11 @@ class CheckpointManager:
         self._mgr.save(int(state.step), args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
+    def all_steps(self) -> list:
+        """Every retained checkpoint step, ascending (offline trend
+        analysis: scripts/recon_trend.py)."""
+        return sorted(self._mgr.all_steps())
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
